@@ -1,0 +1,88 @@
+"""Typed configuration for the whole framework.
+
+The reference scatters magic numbers inline (k=5, 2k dense candidates,
+hybrid weights 0.5/0.6, encode batch 64, source limit 4 — see
+reference retrieval_engine.py:59-96, orchestrator.py:29-57,
+create_vector_store.py:42, responder.py:135). Here they live in one
+dataclass tree so kernels, sharding, and serving agree on shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class DenseConfig:
+    """Dense (semantic) search configuration."""
+
+    dim: int = 384                  # MiniLM embedding dim
+    dtype: str = "float32"          # document matrix dtype: float32 | bfloat16
+    block_n: int = 1024             # Pallas: docs per grid step
+    block_q: int = 8                # Pallas: queries per grid step (fp32 sublane)
+    use_pallas: bool = True         # fused kernel vs plain XLA dot+top_k
+
+
+@dataclasses.dataclass(frozen=True)
+class BM25Config:
+    """Okapi BM25 parameters — defaults match rank_bm25.BM25Okapi so the
+    parity tests can pin scores exactly (reference create_vector_store.py:60)."""
+
+    k1: float = 1.5
+    b: float = 0.75
+    epsilon: float = 0.25           # negative-IDF floor factor
+    max_query_terms: int = 32       # static pad for query term ids
+
+
+@dataclasses.dataclass(frozen=True)
+class FusionConfig:
+    """Hybrid fusion. `weighted` mode reproduces the reference semantics
+    exactly (dense candidates only, score = sem*(1-w) + bm25n*w,
+    reference retrieval_engine.py:71-96). `rrf` is the framework-native
+    mode fusing both candidate lists by reciprocal rank."""
+
+    mode: str = "weighted"          # weighted | rrf
+    hybrid_weight: float = 0.5
+    procedural_weight: float = 0.6  # reference orchestrator.py:56
+    rrf_k: int = 60
+    candidate_multiplier: int = 2   # dense candidates = multiplier * k
+
+
+@dataclasses.dataclass(frozen=True)
+class EncoderConfig:
+    """MiniLM (6-layer BERT) encoder, reference all-MiniLM-L6-v2."""
+
+    vocab_size: int = 30522
+    hidden: int = 384
+    layers: int = 6
+    heads: int = 12
+    intermediate: int = 1536
+    max_len: int = 256              # MiniLM sequence window
+    type_vocab_size: int = 2
+    layer_norm_eps: float = 1e-12
+    encode_batch: int = 64          # ingest-time batch (reference :42)
+    dtype: str = "float32"
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardingConfig:
+    """Multi-chip layout: documents (dense rows + BM25 postings) are
+    sharded along the `shard` mesh axis; query batches replicate."""
+
+    mesh_axis: str = "shard"
+    num_shards: Optional[int] = None   # None = len(jax.devices())
+
+
+@dataclasses.dataclass(frozen=True)
+class RetrievalConfig:
+    k: int = 5
+    dense: DenseConfig = dataclasses.field(default_factory=DenseConfig)
+    bm25: BM25Config = dataclasses.field(default_factory=BM25Config)
+    fusion: FusionConfig = dataclasses.field(default_factory=FusionConfig)
+    encoder: EncoderConfig = dataclasses.field(default_factory=EncoderConfig)
+    sharding: ShardingConfig = dataclasses.field(default_factory=ShardingConfig)
+    max_expanded_queries: int = 4   # 1 primary + 3 concept expansions
+
+
+DEFAULT_CONFIG = RetrievalConfig()

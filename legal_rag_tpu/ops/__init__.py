@@ -1,0 +1,31 @@
+"""Device-side compute kernels: dense matmul+top-k, sparse BM25, fusion."""
+
+from legal_rag_tpu.ops.dense import (
+    l2_normalize,
+    dense_topk,
+    dense_topk_xla,
+    dense_topk_pallas,
+)
+from legal_rag_tpu.ops.sparse import (
+    BM25Index,
+    build_bm25,
+    bm25_score_batch,
+    bm25_topk,
+)
+from legal_rag_tpu.ops.fusion import (
+    weighted_fusion,
+    rrf_fusion,
+)
+
+__all__ = [
+    "l2_normalize",
+    "dense_topk",
+    "dense_topk_xla",
+    "dense_topk_pallas",
+    "BM25Index",
+    "build_bm25",
+    "bm25_score_batch",
+    "bm25_topk",
+    "weighted_fusion",
+    "rrf_fusion",
+]

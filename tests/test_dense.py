@@ -1,0 +1,142 @@
+"""Dense top-k parity: both backends must match a numpy brute-force
+golden — the identical math FAISS IndexFlatIP performs (exact inner
+product + partial sort), so equality here is FAISS-flat parity."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from legal_rag_tpu.ops.dense import (
+    l2_normalize,
+    dense_topk_xla,
+    dense_topk_pallas,
+)
+
+
+def golden_topk(queries, docs, k):
+    """Brute-force exact top-k: descending score, ties by ascending id."""
+    scores = (queries.astype(np.float64) @ docs.T.astype(np.float64)).astype(
+        np.float32
+    )
+    ids = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+    top = np.take_along_axis(scores, ids, axis=1)
+    return top, ids
+
+
+def assert_topk_equiv(queries, docs, k, got_s, got_i, tol=1e-5):
+    """Assert (scores, ids) are an exact top-k up to float-accumulation
+    ties. Different gemms (numpy BLAS vs XLA vs MXU) legitimately order
+    near-equal scores differently — exactly as FAISS on different BLAS
+    backends would — so parity means: score *values* match the golden,
+    every unambiguous golden hit is present, and nothing outside the
+    tolerance band sneaks in."""
+    scores64 = queries.astype(np.float64) @ docs.T.astype(np.float64)
+    got_s = np.asarray(got_s)
+    got_i = np.asarray(got_i)
+    for qi in range(queries.shape[0]):
+        srt = np.sort(scores64[qi])[::-1]
+        kth = srt[k - 1]
+        # 1. selected score values equal the golden top-k values
+        np.testing.assert_allclose(got_s[qi], srt[:k], rtol=tol, atol=tol)
+        # 2. returned scores are monotone non-increasing
+        assert (np.diff(got_s[qi]) <= tol).all()
+        got_true = scores64[qi, got_i[qi]]
+        # 3. device scores agree with f64 recompute at the returned ids
+        np.testing.assert_allclose(got_s[qi], got_true, rtol=tol, atol=tol)
+        # 4. every must-have id (above the tie band) is present
+        must = np.where(scores64[qi] > kth + tol)[0]
+        assert set(must) <= set(got_i[qi])
+        # 5. nothing below the tie band is present
+        assert (got_true >= kth - tol).all()
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(7)
+    docs = rng.standard_normal((1000, 384)).astype(np.float32)
+    docs /= np.linalg.norm(docs, axis=1, keepdims=True)
+    queries = rng.standard_normal((13, 384)).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+    return queries, docs
+
+
+def test_l2_normalize_matches_numpy(data):
+    _, docs = data
+    out = np.asarray(l2_normalize(jnp.asarray(docs * 3.7)))
+    np.testing.assert_allclose(
+        out, docs * 3.7 / np.linalg.norm(docs * 3.7, axis=1, keepdims=True),
+        rtol=1e-6,
+    )
+
+
+def test_l2_normalize_zero_row_safe():
+    x = jnp.zeros((2, 4))
+    assert np.isfinite(np.asarray(l2_normalize(x))).all()
+
+
+def test_xla_backend_matches_golden(data):
+    queries, docs = data
+    s, i = dense_topk_xla(jnp.asarray(queries), jnp.asarray(docs), 10)
+    assert_topk_equiv(queries, docs, 10, s, i)
+
+
+def test_pallas_backend_matches_golden(data):
+    queries, docs = data
+    s, i = dense_topk_pallas(
+        jnp.asarray(queries), jnp.asarray(docs.T), 10,
+        block_n=256, interpret=True,
+    )
+    assert_topk_equiv(queries, docs, 10, s, i)
+
+
+def test_pallas_ragged_shapes():
+    """N and Q not multiples of the block sizes (padding correctness)."""
+    rng = np.random.default_rng(3)
+    docs = rng.standard_normal((333, 64)).astype(np.float32)
+    queries = rng.standard_normal((5, 64)).astype(np.float32)
+    s, i = dense_topk_pallas(
+        jnp.asarray(queries), jnp.asarray(docs.T), 7,
+        block_n=128, interpret=True,
+    )
+    assert_topk_equiv(queries, docs, 7, s, i)
+
+
+def test_tie_breaking_lowest_id_wins():
+    """Duplicate documents: the lower doc id must be returned first,
+    in both backends (FAISS flat heap semantics + stable sort)."""
+    doc = np.ones((1, 8), dtype=np.float32)
+    docs = np.concatenate([doc] * 6 + [np.zeros((2, 8), dtype=np.float32)])
+    queries = np.ones((1, 8), dtype=np.float32)
+    _, i_x = dense_topk_xla(jnp.asarray(queries), jnp.asarray(docs), 4)
+    _, i_p = dense_topk_pallas(
+        jnp.asarray(queries), jnp.asarray(docs.T), 4,
+        block_n=128, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(i_x)[0], [0, 1, 2, 3])
+    np.testing.assert_array_equal(np.asarray(i_p)[0], [0, 1, 2, 3])
+
+
+def test_tie_breaking_across_blocks():
+    """Ties straddling Pallas block boundaries keep ascending-id order."""
+    docs = np.zeros((300, 8), dtype=np.float32)
+    docs[10] = docs[150] = docs[290] = 1.0  # equal scores, 3 blocks
+    queries = np.ones((1, 8), dtype=np.float32)
+    queries /= np.linalg.norm(queries)
+    _, i_p = dense_topk_pallas(
+        jnp.asarray(queries), jnp.asarray(docs.T), 3,
+        block_n=128, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(i_p)[0], [10, 150, 290])
+
+
+def test_k_larger_than_block_tail():
+    """k close to N still returns every real document before padding."""
+    rng = np.random.default_rng(11)
+    docs = rng.standard_normal((20, 16)).astype(np.float32)
+    queries = rng.standard_normal((2, 16)).astype(np.float32)
+    _, gi = golden_topk(queries, docs, 20)
+    s, i = dense_topk_pallas(
+        jnp.asarray(queries), jnp.asarray(docs.T), 20,
+        block_n=128, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(i), gi)
