@@ -1,0 +1,85 @@
+"""SentenceEncoder: tokenizer + MiniLM forward, batched for ingest and
+query encode (the role SentenceTransformer.encode plays in the
+reference, create_vector_store.py:41-46 / retrieval_engine.py:61)."""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from legal_rag_tpu.config import EncoderConfig
+from legal_rag_tpu.models.minilm import (
+    MiniLMParams,
+    init_minilm_params,
+    minilm_encode,
+)
+from legal_rag_tpu.models.wordpiece import (
+    WordPieceTokenizer,
+    build_wordpiece_vocab,
+)
+
+
+class SentenceEncoder:
+    """Batched text -> normalized ``[B, 384]`` embeddings on device.
+
+    Weight sources, in order of preference:
+      1. converted pretrained checkpoint (``convert.load_params_npz``),
+      2. deterministic random init + corpus-built vocab — keeps the
+         whole stack runnable with zero egress; retrieval parity tests
+         are weight-agnostic (they compare search backends on whatever
+         embeddings this produces).
+    """
+
+    def __init__(
+        self,
+        cfg: Optional[EncoderConfig] = None,
+        params: Optional[MiniLMParams] = None,
+        tokenizer: Optional[WordPieceTokenizer] = None,
+        vocab_corpus: Optional[Sequence[str]] = None,
+        seed: int = 0,
+    ):
+        self.cfg = cfg or EncoderConfig()
+        if tokenizer is None:
+            corpus = list(vocab_corpus) if vocab_corpus else ["placeholder"]
+            vocab = build_wordpiece_vocab(corpus, size=self.cfg.vocab_size)
+            tokenizer = WordPieceTokenizer(vocab)
+        self.tokenizer = tokenizer
+        if params is None:
+            # vocab may be smaller than cfg.vocab_size; size the table
+            # to the tokenizer so ids always index in range.
+            import dataclasses
+
+            cfg_eff = dataclasses.replace(
+                self.cfg, vocab_size=max(len(tokenizer.vocab), 1)
+            )
+            params = init_minilm_params(cfg_eff, seed=seed)
+            self.cfg = cfg_eff
+        self.params = params
+
+    def encode(
+        self,
+        texts: Sequence[str],
+        batch_size: Optional[int] = None,
+        normalize: bool = True,
+    ) -> np.ndarray:
+        """Encode texts in device batches; returns ``[B, H]`` float32.
+        ``normalize=True`` gives unit vectors (cosine == inner product,
+        matching the reference's normalize_L2 + IndexFlatIP setup)."""
+        del normalize  # embeddings are always L2-normalized (cosine)
+        batch_size = batch_size or self.cfg.encode_batch
+        out = []
+        for lo in range(0, len(texts), batch_size):
+            chunk = texts[lo : lo + batch_size]
+            ids, mask = self.tokenizer.encode_batch(
+                chunk, max_len=self.cfg.max_len
+            )
+            emb = minilm_encode(
+                self.params, jnp.asarray(ids), jnp.asarray(mask), self.cfg
+            )
+            out.append(np.asarray(emb))
+        if not out:
+            return np.zeros((0, self.cfg.hidden), dtype=np.float32)
+        return np.concatenate(out, axis=0)
