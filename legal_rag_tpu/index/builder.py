@@ -1,0 +1,81 @@
+"""Index build pipeline: chunks -> embeddings + BM25 -> VectorStore.
+
+The TPU-native equivalent of the reference's offline build
+(create_vector_store.py:14-78): chunk texts are encoded in device
+batches by the JAX MiniLM encoder (already L2-normalized — cosine via
+inner product), BM25 postings built host-side, everything saved as the
+versioned artifact directory.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Union
+
+from legal_rag_tpu.config import RetrievalConfig, DEFAULT_CONFIG
+from legal_rag_tpu.ingest import parse_corpus
+from legal_rag_tpu.ingest.parser import LegalChunk
+from legal_rag_tpu.models.encoder import SentenceEncoder
+from legal_rag_tpu.ops.sparse import build_bm25
+from legal_rag_tpu.index.store import VectorStore
+
+
+def _chunk_dicts(chunks: Sequence[Union[LegalChunk, Dict]]) -> List[Dict]:
+    out = []
+    for c in chunks:
+        if isinstance(c, LegalChunk):
+            d = c.to_reference_dict()
+            d["section_id"] = c.section_id
+        else:
+            d = dict(c)
+            d.setdefault("section_id", None)
+        out.append(d)
+    return out
+
+
+def build_index(
+    source,
+    encoder: Optional[SentenceEncoder] = None,
+    config: RetrievalConfig = DEFAULT_CONFIG,
+    store_dir=None,
+) -> VectorStore:
+    """Build a full index.
+
+    Args:
+      source: a documents directory (ingested via :func:`parse_corpus`),
+        a path to a chunks json artifact, or a chunk sequence.
+      encoder: sentence encoder; defaults to a corpus-vocab encoder.
+      store_dir: if given, artifacts are saved there.
+    """
+    if isinstance(source, (str, Path)):
+        path = Path(source)
+        if path.is_dir():
+            chunks = _chunk_dicts(parse_corpus(path))
+        else:
+            import json
+
+            with open(path, "r", encoding="utf-8") as f:
+                chunks = _chunk_dicts(json.load(f))
+    else:
+        chunks = _chunk_dicts(source)
+
+    texts = [c["text"] for c in chunks]
+    if encoder is None:
+        encoder = SentenceEncoder(cfg=config.encoder, vocab_corpus=texts)
+
+    embeddings = encoder.encode(texts, batch_size=config.encoder.encode_batch)
+    bm25 = build_bm25(
+        texts,
+        k1=config.bm25.k1,
+        b=config.bm25.b,
+        epsilon=config.bm25.epsilon,
+    )
+    store = VectorStore(
+        embeddings=embeddings,
+        bm25=bm25,
+        chunks=chunks,
+        wp_vocab=dict(encoder.tokenizer.vocab),
+    )
+    if store_dir is not None:
+        store.save(store_dir)
+    return store

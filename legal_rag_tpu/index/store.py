@@ -1,0 +1,169 @@
+"""Index artifact format.
+
+Replaces the reference's three-file store (``index.faiss`` +
+``bm25.pkl`` + ``metadata.json``, reference create_vector_store.py:70-78)
+with a framework-native, versioned directory:
+
+    store/
+      manifest.json      version, corpus stats, encoder info, shapes,
+                         sha256 per artifact (integrity + resumability)
+      embeddings.npy     [N, D] float32, L2-normalized (mmap-able)
+      bm25.npz           CSR postings: indptr/doc_ids/weights/idf/doc_len
+      vocab.txt          BM25 term vocab (line = term, id = line no)
+      wp_vocab.txt       WordPiece vocab for the encoder (optional)
+      chunks.json        full chunk list (text/metadata/canonical_header
+                         /section_id) — the reference metadata.json
+                         superset
+
+No pickle anywhere (the reference's bm25.pkl is a code-execution
+hazard); everything is plain arrays + json, so shards can be
+memory-mapped and ``jax.device_put`` straight onto a mesh.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from legal_rag_tpu.ops.sparse import BM25Index
+
+FORMAT_VERSION = 1
+
+
+def _sha256(path: Path) -> str:
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for block in iter(lambda: f.read(1 << 20), b""):
+            h.update(block)
+    return h.hexdigest()
+
+
+@dataclasses.dataclass
+class VectorStore:
+    """In-memory handle on the index artifacts."""
+
+    embeddings: np.ndarray          # [N, D] float32 unit rows
+    bm25: BM25Index
+    chunks: List[Dict]              # chunk dicts incl. section_id
+    wp_vocab: Optional[Dict[str, int]] = None
+    manifest: Optional[Dict] = None
+
+    @property
+    def n_docs(self) -> int:
+        return self.embeddings.shape[0]
+
+    @property
+    def dim(self) -> int:
+        return self.embeddings.shape[1]
+
+    # -- persistence -------------------------------------------------------
+
+    def save(self, store_dir) -> Dict:
+        store_dir = Path(store_dir)
+        store_dir.mkdir(parents=True, exist_ok=True)
+
+        np.save(store_dir / "embeddings.npy", self.embeddings)
+        np.savez_compressed(
+            store_dir / "bm25.npz",
+            indptr=self.bm25.indptr,
+            doc_ids=self.bm25.doc_ids,
+            weights=self.bm25.weights,
+            idf=self.bm25.idf,
+            doc_len=self.bm25.doc_len,
+            params=np.array(
+                [self.bm25.k1, self.bm25.b, self.bm25.epsilon, self.bm25.avgdl],
+                dtype=np.float64,
+            ),
+        )
+        inv = {i: t for t, i in self.bm25.vocab.items()}
+        with open(store_dir / "vocab.txt", "w", encoding="utf-8") as f:
+            for i in range(len(inv)):
+                f.write(inv[i] + "\n")
+        if self.wp_vocab:
+            inv_wp = {i: t for t, i in self.wp_vocab.items()}
+            with open(store_dir / "wp_vocab.txt", "w", encoding="utf-8") as f:
+                for i in range(len(inv_wp)):
+                    f.write(inv_wp[i] + "\n")
+        with open(store_dir / "chunks.json", "w", encoding="utf-8") as f:
+            json.dump(self.chunks, f, ensure_ascii=False)
+
+        artifacts = ["embeddings.npy", "bm25.npz", "vocab.txt", "chunks.json"]
+        if self.wp_vocab:
+            artifacts.append("wp_vocab.txt")
+        manifest = {
+            "format_version": FORMAT_VERSION,
+            "n_docs": int(self.n_docs),
+            "dim": int(self.dim),
+            "bm25_vocab_size": self.bm25.vocab_size,
+            "bm25_nnz": int(len(self.bm25.doc_ids)),
+            "bm25_params": {
+                "k1": self.bm25.k1, "b": self.bm25.b,
+                "epsilon": self.bm25.epsilon, "avgdl": self.bm25.avgdl,
+            },
+            "artifacts": {
+                name: _sha256(store_dir / name) for name in artifacts
+            },
+        }
+        with open(store_dir / "manifest.json", "w", encoding="utf-8") as f:
+            json.dump(manifest, f, indent=2)
+        self.manifest = manifest
+        return manifest
+
+    @classmethod
+    def load(cls, store_dir, verify: bool = True) -> "VectorStore":
+        store_dir = Path(store_dir)
+        with open(store_dir / "manifest.json", "r", encoding="utf-8") as f:
+            manifest = json.load(f)
+        if manifest["format_version"] > FORMAT_VERSION:
+            raise ValueError(
+                f"store format {manifest['format_version']} is newer than "
+                f"this framework ({FORMAT_VERSION})"
+            )
+        if verify:
+            for name, digest in manifest["artifacts"].items():
+                actual = _sha256(store_dir / name)
+                if actual != digest:
+                    raise ValueError(
+                        f"artifact {name} hash mismatch "
+                        f"(expected {digest[:12]}, got {actual[:12]})"
+                    )
+
+        embeddings = np.load(store_dir / "embeddings.npy", mmap_mode="r")
+        embeddings = np.ascontiguousarray(embeddings, dtype=np.float32)
+
+        data = np.load(store_dir / "bm25.npz")
+        with open(store_dir / "vocab.txt", "r", encoding="utf-8") as f:
+            vocab = {line.rstrip("\n"): i for i, line in enumerate(f)}
+        k1, b, epsilon, avgdl = data["params"]
+        bm25 = BM25Index(
+            vocab=vocab,
+            indptr=data["indptr"],
+            doc_ids=data["doc_ids"],
+            weights=data["weights"],
+            idf=data["idf"],
+            doc_len=data["doc_len"],
+            n_docs=int(embeddings.shape[0]),
+            avgdl=float(avgdl),
+            k1=float(k1),
+            b=float(b),
+            epsilon=float(epsilon),
+        )
+        wp_vocab = None
+        wp_path = store_dir / "wp_vocab.txt"
+        if wp_path.exists():
+            with open(wp_path, "r", encoding="utf-8") as f:
+                wp_vocab = {line.rstrip("\n"): i for i, line in enumerate(f)}
+        with open(store_dir / "chunks.json", "r", encoding="utf-8") as f:
+            chunks = json.load(f)
+        return cls(
+            embeddings=embeddings,
+            bm25=bm25,
+            chunks=chunks,
+            wp_vocab=wp_vocab,
+            manifest=manifest,
+        )

@@ -1,0 +1,161 @@
+"""Hybrid retrieval engine: the serving-path core.
+
+Replaces the reference ``RetrievalEngine`` (retrieval_engine.py:23-96)
+with arrays-as-interface semantics: the native API is
+:meth:`RetrievalEngine.search_batch` — one ``[Q, D]`` query matrix in,
+``(scores, ids, sem, keyword)`` out, a single jitted sharded program on
+device. The reference's per-query ``search(query, k, hybrid_weight)``
+is a thin compatibility wrapper returning the same result dicts
+(``{chunk, score, semantic, keyword}``).
+
+Parity semantics reproduced exactly (tested in tests/test_engine.py):
+  - dense candidates = top ``2k`` by cosine (reference :64),
+  - BM25 scored over the whole corpus, max-normalized (reference :68-74),
+  - fused = ``sem*(1-w) + bm25n*w`` over dense candidates only
+    (reference :84),
+  - plus the framework-native RRF mode the reference only advertises.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from legal_rag_tpu.config import RetrievalConfig, DEFAULT_CONFIG
+from legal_rag_tpu.index.store import VectorStore
+from legal_rag_tpu.models.encoder import SentenceEncoder
+from legal_rag_tpu.models.wordpiece import WordPieceTokenizer
+from legal_rag_tpu.parallel.mesh import make_mesh
+from legal_rag_tpu.parallel.sharded import ShardedIndex, sharded_hybrid_search
+from legal_rag_tpu.utils.timing import StageTimer
+
+
+@dataclasses.dataclass
+class SearchResult:
+    chunk: Dict
+    score: float
+    semantic: float
+    keyword: float
+    doc_id: int
+
+    def to_dict(self) -> Dict:
+        """Reference-shaped result dict (retrieval_engine.py:86-91)."""
+        return {
+            "chunk": self.chunk,
+            "score": self.score,
+            "semantic": self.semantic,
+            "keyword": self.keyword,
+        }
+
+
+def _pad_pow2(n: int, lo: int = 8) -> int:
+    n = max(n, lo)
+    return 1 << (n - 1).bit_length()
+
+
+class RetrievalEngine:
+    """Device-resident hybrid searcher over a VectorStore."""
+
+    def __init__(
+        self,
+        store: VectorStore,
+        config: RetrievalConfig = DEFAULT_CONFIG,
+        encoder: Optional[SentenceEncoder] = None,
+        mesh=None,
+        use_pallas: Optional[bool] = None,
+    ):
+        self.store = store
+        self.config = config
+        self.timer = StageTimer()
+        if encoder is None:
+            if store.wp_vocab:
+                tokenizer = WordPieceTokenizer(store.wp_vocab)
+                encoder = SentenceEncoder(cfg=config.encoder, tokenizer=tokenizer)
+            else:
+                encoder = SentenceEncoder(
+                    cfg=config.encoder,
+                    vocab_corpus=[c["text"] for c in store.chunks],
+                )
+        self.encoder = encoder
+        self.mesh = mesh or make_mesh(config.sharding.num_shards)
+        self.index = ShardedIndex.from_embeddings(store.embeddings, self.mesh)
+        # default to the fused Pallas kernel only on real TPU backends
+        if use_pallas is None:
+            use_pallas = jax.devices()[0].platform == "tpu"
+        self.use_pallas = use_pallas
+
+    # -- native batched API -------------------------------------------------
+
+    def search_batch(
+        self,
+        queries: Sequence[str],
+        k: Optional[int] = None,
+        hybrid_weights: Optional[Sequence[float]] = None,
+        mode: Optional[str] = None,
+    ) -> List[List[SearchResult]]:
+        """Hybrid search for a whole query batch in one device program."""
+        cfg = self.config
+        k = k or cfg.k
+        mode = mode or cfg.fusion.mode
+        if hybrid_weights is None:
+            hybrid_weights = [cfg.fusion.hybrid_weight] * len(queries)
+
+        with self.timer.stage("encode"):
+            q_emb = self.encoder.encode(list(queries))
+        with self.timer.stage("postings"):
+            budget = _pad_pow2(self.store.bm25.postings_budget(queries))
+            post_ids, post_w = self.store.bm25.gather_postings(queries, budget)
+        with self.timer.stage("device_search"):
+            scores, ids, sem, key = sharded_hybrid_search(
+                self.index.docs_t,
+                jnp.asarray(post_ids),
+                jnp.asarray(post_w),
+                jnp.asarray(q_emb),
+                jnp.asarray(np.asarray(hybrid_weights, dtype=np.float32)),
+                mesh=self.mesh,
+                k=k,
+                c=max(cfg.fusion.candidate_multiplier * k, k),
+                n_docs=self.store.n_docs,
+                mode=mode,
+                use_pallas=self.use_pallas,
+                rrf_k=cfg.fusion.rrf_k,
+            )
+            scores, ids = np.asarray(scores), np.asarray(ids)
+            sem, key = np.asarray(sem), np.asarray(key)
+
+        out: List[List[SearchResult]] = []
+        for qi in range(len(queries)):
+            row = []
+            for j in range(k):
+                doc = int(ids[qi, j])
+                if doc < 0 or doc >= self.store.n_docs:
+                    continue
+                if not np.isfinite(scores[qi, j]):
+                    continue
+                row.append(
+                    SearchResult(
+                        chunk=self.store.chunks[doc],
+                        score=float(scores[qi, j]),
+                        semantic=float(sem[qi, j]),
+                        keyword=float(key[qi, j]),
+                        doc_id=doc,
+                    )
+                )
+            out.append(row)
+        return out
+
+    # -- reference-compatible API --------------------------------------------
+
+    def search(
+        self, query: str, k: int = 5, hybrid_weight: float = 0.5
+    ) -> List[Dict]:
+        """Single-query compatibility wrapper (reference
+        retrieval_engine.py:59 contract)."""
+        results = self.search_batch(
+            [query], k=k, hybrid_weights=[hybrid_weight], mode="weighted"
+        )[0]
+        return [r.to_dict() for r in results]

@@ -1,0 +1,51 @@
+"""Per-stage timing — the observability the reference lacks (it logs
+only whole-request wall clock, reference app.py:116,143-144). Each
+pipeline stage (encode / postings / device_search / classify / ...)
+accumulates call counts and latencies; snapshots feed /health metrics
+and the bench harness. ``jax.profiler`` traces can wrap any stage via
+the same context manager."""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from collections import defaultdict
+from typing import Dict, Optional
+
+
+class StageTimer:
+    def __init__(self) -> None:
+        self._totals: Dict[str, float] = defaultdict(float)
+        self._counts: Dict[str, int] = defaultdict(int)
+        self._last: Dict[str, float] = {}
+
+    @contextlib.contextmanager
+    def stage(self, name: str, profile: bool = False):
+        ctx = (
+            contextlib.nullcontext()
+        )
+        start = time.perf_counter()
+        try:
+            with ctx:
+                yield
+        finally:
+            dt = time.perf_counter() - start
+            self._totals[name] += dt
+            self._counts[name] += 1
+            self._last[name] = dt
+
+    def snapshot(self) -> Dict[str, Dict[str, float]]:
+        return {
+            name: {
+                "count": self._counts[name],
+                "total_s": self._totals[name],
+                "mean_ms": 1e3 * self._totals[name] / max(self._counts[name], 1),
+                "last_ms": 1e3 * self._last.get(name, 0.0),
+            }
+            for name in self._totals
+        }
+
+    def reset(self) -> None:
+        self._totals.clear()
+        self._counts.clear()
+        self._last.clear()

@@ -7,12 +7,20 @@ import os
 import sys
 from pathlib import Path
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The image pre-sets JAX_PLATFORMS=axon (single real TPU via a tunnel,
+# re-asserted by a sitecustomize on PYTHONPATH); tests must run on the
+# virtual 8-device CPU mesh, so force both the env var AND the jax
+# config (the config update is what actually wins over the site hook).
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 if str(REPO_ROOT) not in sys.path:

@@ -1,0 +1,137 @@
+"""Multi-chip sharded search on the 8-device virtual CPU mesh: results
+must be identical to the single-device reference-semantics golden, for
+every mesh size that divides the corpus or not."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from legal_rag_tpu.ops.sparse import build_bm25
+from legal_rag_tpu.parallel.mesh import make_mesh
+from legal_rag_tpu.parallel.sharded import ShardedIndex, sharded_hybrid_search
+
+
+def golden_hybrid(q_emb, docs, bm25_scores, w, k, c):
+    """Host reimplementation of the reference hybrid ranking."""
+    out_ids, out_f = [], []
+    dense = q_emb.astype(np.float64) @ docs.T.astype(np.float64)
+    for qi in range(q_emb.shape[0]):
+        cand = np.argsort(-dense[qi], kind="stable")[:c]
+        mx = bm25_scores[qi].max()
+        mx = mx if mx > 0 else 1.0
+        fused = dense[qi, cand] * (1 - w[qi]) + bm25_scores[qi, cand] / mx * w[qi]
+        order = np.argsort(-fused, kind="stable")[:k]
+        out_ids.append(cand[order])
+        out_f.append(fused[order])
+    return np.array(out_ids), np.array(out_f)
+
+
+@pytest.fixture(scope="module")
+def setup(corpus_texts):
+    rng = np.random.default_rng(21)
+    n = len(corpus_texts)
+    docs = rng.standard_normal((n, 64)).astype(np.float32)
+    docs /= np.linalg.norm(docs, axis=1, keepdims=True)
+    q_emb = rng.standard_normal((4, 64)).astype(np.float32)
+    q_emb /= np.linalg.norm(q_emb, axis=1, keepdims=True)
+    bm25 = build_bm25(corpus_texts)
+    queries = ["the police fir", "w1 w2 w3", "w5 police", "w100 w101 the"]
+    budget = bm25.postings_budget(queries)
+    post_ids, post_w = bm25.gather_postings(queries, budget)
+    bm_scores = np.zeros((4, n), dtype=np.float32)
+    for qi in range(4):
+        np.add.at(bm_scores[qi], post_ids[qi][post_ids[qi] < n],
+                  post_w[qi][post_ids[qi] < n])
+    return docs, q_emb, bm25, post_ids, post_w, bm_scores
+
+
+@pytest.mark.parametrize("n_shards", [1, 2, 8])
+def test_sharded_matches_golden(setup, n_shards):
+    docs, q_emb, bm25, post_ids, post_w, bm_scores = setup
+    w = np.array([0.5, 0.6, 0.5, 0.0], dtype=np.float32)
+    k, cmult = 5, 2
+    mesh = make_mesh(n_shards)
+    index = ShardedIndex.from_embeddings(docs, mesh)
+    f, ids, sem, key = sharded_hybrid_search(
+        index.docs_t,
+        jnp.asarray(post_ids), jnp.asarray(post_w),
+        jnp.asarray(q_emb), jnp.asarray(w),
+        mesh=mesh, k=k, c=cmult * k, n_docs=docs.shape[0],
+        mode="weighted",
+    )
+    g_ids, g_f = golden_hybrid(q_emb, docs, bm_scores, w, k, cmult * k)
+    np.testing.assert_array_equal(np.asarray(ids), g_ids)
+    np.testing.assert_allclose(np.asarray(f), g_f, rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_identical_across_mesh_sizes(setup):
+    """Determinism across mesh shapes (SURVEY hard part (d))."""
+    docs, q_emb, bm25, post_ids, post_w, _ = setup
+    w = np.full(4, 0.5, dtype=np.float32)
+    results = []
+    for n_shards in (1, 2, 4, 8):
+        mesh = make_mesh(n_shards)
+        index = ShardedIndex.from_embeddings(docs, mesh)
+        f, ids, _, _ = sharded_hybrid_search(
+            index.docs_t, jnp.asarray(post_ids), jnp.asarray(post_w),
+            jnp.asarray(q_emb), jnp.asarray(w),
+            mesh=mesh, k=5, c=10, n_docs=docs.shape[0], mode="weighted",
+        )
+        results.append((np.asarray(f), np.asarray(ids)))
+    for f, ids in results[1:]:
+        np.testing.assert_array_equal(ids, results[0][1])
+        np.testing.assert_allclose(f, results[0][0], rtol=1e-5)
+
+
+def test_sharded_rrf_mode(setup):
+    docs, q_emb, bm25, post_ids, post_w, bm_scores = setup
+    w = np.full(4, 0.5, dtype=np.float32)
+    mesh = make_mesh(4)
+    index = ShardedIndex.from_embeddings(docs, mesh)
+    f, ids, _, _ = sharded_hybrid_search(
+        index.docs_t, jnp.asarray(post_ids), jnp.asarray(post_w),
+        jnp.asarray(q_emb), jnp.asarray(w),
+        mesh=mesh, k=5, c=10, n_docs=docs.shape[0], mode="rrf",
+    )
+    ids = np.asarray(ids)
+    # RRF must be able to surface the BM25 #1 hit even if dense missed it
+    for qi in range(4):
+        if bm_scores[qi].max() > 0:
+            assert bm_scores[qi].argmax() in ids[qi]
+    # all returned ids valid
+    assert (ids >= 0).all() and (ids < docs.shape[0]).all()
+
+
+def test_pallas_interpret_inside_shard_map(setup):
+    """The fused Pallas kernel runs under shard_map (interpret mode on
+    CPU) and agrees with the XLA path."""
+    docs, q_emb, bm25, post_ids, post_w, _ = setup
+    w = np.full(4, 0.5, dtype=np.float32)
+    mesh = make_mesh(2)
+    index = ShardedIndex.from_embeddings(docs, mesh)
+    import legal_rag_tpu.parallel.sharded as sh
+    import legal_rag_tpu.ops.dense as dense_mod
+    import functools
+
+    orig = dense_mod.dense_topk_pallas
+    try:
+        # force interpret mode for CPU execution
+        dense_mod_patched = functools.partial(orig, interpret=True)
+        sh.dense_topk_pallas = dense_mod_patched
+        f_p, ids_p, _, _ = sharded_hybrid_search(
+            index.docs_t, jnp.asarray(post_ids), jnp.asarray(post_w),
+            jnp.asarray(q_emb), jnp.asarray(w),
+            mesh=mesh, k=5, c=10, n_docs=docs.shape[0],
+            mode="weighted", use_pallas=True,
+        )
+    finally:
+        sh.dense_topk_pallas = orig
+    f_x, ids_x, _, _ = sharded_hybrid_search(
+        index.docs_t, jnp.asarray(post_ids), jnp.asarray(post_w),
+        jnp.asarray(q_emb), jnp.asarray(w),
+        mesh=mesh, k=5, c=10, n_docs=docs.shape[0],
+        mode="weighted", use_pallas=False,
+    )
+    np.testing.assert_array_equal(np.asarray(ids_p), np.asarray(ids_x))
+    np.testing.assert_allclose(np.asarray(f_p), np.asarray(f_x), rtol=1e-5)
