@@ -1,0 +1,181 @@
+"""Query intent classification.
+
+Same contract as the reference ``QueryClassifier`` (classifier.py:18-105):
+``classify(query) -> QueryIntent`` with the 10 fixed categories and the
+victim_distress / informational / professional user contexts. Two
+paths:
+
+- LLM path (identical prompt contract) when a client is injected;
+- a deterministic rule-based path used as fallback AND as the offline
+  default — the reference has no offline story (classification just
+  fails without an API key), which made its own tests unrunnable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import Dict, List, Optional
+
+from legal_rag_tpu.retrieval.llm import LLMClient
+
+QUERY_TYPES = (
+    "definition",
+    "procedure",
+    "punishment",
+    "bailability",
+    "jurisdiction",
+    "rights_of_victim",
+    "police_duty",
+    "court_power",
+    "compensation",
+    "general_explanation",
+)
+
+USER_CONTEXTS = ("victim_distress", "informational", "professional")
+
+
+@dataclasses.dataclass
+class QueryIntent:
+    category: str
+    user_context: str
+    confidence: float
+    sub_intent: Optional[str] = None
+    key_entities: List[str] = dataclasses.field(default_factory=list)
+
+    def to_dict(self) -> Dict:
+        return dataclasses.asdict(self)
+
+
+# Rule tables for the deterministic path -------------------------------------
+
+_OFFENCES = (
+    "robbery", "rape", "assault", "theft", "murder", "kidnapping",
+    "acid attack", "stalking", "dowry", "cheating", "extortion",
+    "burglary", "molestation", "harassment",
+)
+_LAWS = ("BNS", "BNSS", "BSA", "NALSA", "IPC", "CRPC")
+
+_CATEGORY_RULES = (
+    ("compensation", ("compensation", "compensate", "relief fund", "nalsa")),
+    ("bailability", ("bail", "bailable", "anticipatory")),
+    ("punishment", ("punishment", "punish", "sentence", "imprisonment", "fine for")),
+    ("police_duty", ("police duty", "police do", "police officer", "sho", "duty of police")),
+    ("court_power", ("court power", "magistrate", "high court", "supreme court", "jurisdiction of court")),
+    ("jurisdiction", ("jurisdiction", "which police station", "where to file", "where should i file")),
+    ("rights_of_victim", ("rights", "victim rights", "my rights")),
+    ("procedure", ("procedure", "how to", "how do i", "file", "fir", "register", "complaint", "report", "what should i do", "what do i do")),
+    ("definition", ("what is", "define", "definition", "meaning of")),
+)
+
+_DISTRESS_MARKERS = (
+    "i was", "i am", "i have been", "i've been", "my ", "me ", "just now",
+    "help", "happened to me", "attacked", "robbed", "raped", "assaulted",
+    "stolen", "threatened", "urgent",
+)
+_PROFESSIONAL_MARKERS = (
+    "i am a lawyer", "as a lawyer", "i am a police", "as an officer",
+    "advocate", "counsel for", "my client",
+)
+
+
+def classify_heuristic(query: str) -> QueryIntent:
+    """Deterministic rule-based intent classification."""
+    q = query.lower()
+
+    entities: List[str] = []
+    for law in _LAWS:
+        if re.search(rf"\b{law.lower()}\b", q):
+            entities.append(law)
+    for off in _OFFENCES:
+        if off in q:
+            entities.append(off)
+    for sec in re.findall(r"section\s+(\d+[a-z]?)", q):
+        entities.append(f"Section {sec}")
+    if "fir" in q.split() or "zero fir" in q:
+        entities.append("FIR")
+
+    context = "informational"
+    if any(m in q for m in _PROFESSIONAL_MARKERS):
+        context = "professional"
+    elif any(m in q for m in _DISTRESS_MARKERS) and any(
+        off in q for off in _OFFENCES
+    ):
+        context = "victim_distress"
+    elif re.search(r"\b(i|my|me)\b", q) and any(
+        w in q for w in ("robbed", "attacked", "raped", "assaulted", "stolen",
+                         "cheated", "threatened", "harassed")
+    ):
+        context = "victim_distress"
+
+    category = "general_explanation"
+    for cat, needles in _CATEGORY_RULES:
+        if any(n in q for n in needles):
+            category = cat
+            break
+    # victim asking anything actionable is procedural
+    if context == "victim_distress" and category in (
+        "general_explanation", "definition",
+    ):
+        category = "procedure"
+
+    return QueryIntent(
+        category=category,
+        user_context=context,
+        confidence=0.55,
+        sub_intent=None,
+        key_entities=entities,
+    )
+
+
+_LLM_PROMPT = """Analyze the following user query and categorize it into one of the following types:
+{types}
+
+Query: "{query}"
+
+Instructions:
+Determine the user's context:
+- "victim_distress": If the user is reporting a crime that happened to them or someone close, expresses urgency, or uses personal pronouns ("I", "my").
+- "informational": If the user is asking general questions, definitions, or is a student/researcher.
+- "professional": If the user is a legal professional or police officer.
+
+Return strictly in JSON format with these EXACT keys:
+1. "category": (must be one of the types listed above)
+2. "sub_intent": (string or null)
+3. "key_entities": (list of extracted legal terms)
+4. "user_context": (victim_distress, informational, or professional)
+5. "confidence": (float between 0 and 1)
+"""
+
+
+class QueryClassifier:
+    """LLM classification with deterministic fallback."""
+
+    def __init__(self, llm: Optional[LLMClient] = None):
+        self.llm = llm
+
+    def classify(self, query: str) -> QueryIntent:
+        if self.llm is not None:
+            try:
+                raw = self.llm.generate_json(
+                    _LLM_PROMPT.format(types=", ".join(QUERY_TYPES), query=query)
+                )
+                return self._validate(raw, query)
+            except Exception:  # noqa: BLE001 — degrade, never fail the request
+                pass
+        return classify_heuristic(query)
+
+    def _validate(self, raw: Dict, query: str) -> QueryIntent:
+        category = raw.get("category")
+        context = raw.get("user_context")
+        if category not in QUERY_TYPES or context not in USER_CONTEXTS:
+            return classify_heuristic(query)
+        conf = raw.get("confidence")
+        entities = raw.get("key_entities") or []
+        return QueryIntent(
+            category=category,
+            user_context=context,
+            confidence=float(conf) if isinstance(conf, (int, float)) else 0.5,
+            sub_intent=raw.get("sub_intent"),
+            key_entities=[str(e) for e in entities],
+        )

@@ -1,0 +1,143 @@
+"""Retrieval orchestration: classification, concept expansion, priority
+boosting, parent expansion.
+
+Functional parity with the reference ``LegalOrchestrator``
+(orchestrator.py:8-139) with one deliberate architectural change: the
+reference runs concept-expansion queries *sequentially* through the
+engine (orchestrator.py:54, flagged HOT in SURVEY.md §3.1); here all
+expansion queries are stacked into one query matrix and executed as a
+single batched device program — one encoder launch, one search launch.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+from legal_rag_tpu.retrieval.classifier import QueryClassifier, QueryIntent
+from legal_rag_tpu.retrieval.engine import RetrievalEngine, SearchResult
+from legal_rag_tpu.retrieval.llm import LLMClient
+
+_EXPANSION_OFFENCES = ("robbery", "assault", "rape", "theft")
+
+
+def expansion_queries(intent: QueryIntent) -> List[str]:
+    """The reference's victim-distress concept expansion
+    (orchestrator.py:42-48): FIR procedure, NALSA compensation, Zero FIR."""
+    offence = next(
+        (e for e in intent.key_entities if e.lower() in _EXPANSION_OFFENCES),
+        "crime",
+    )
+    return [
+        f"How to file FIR for {offence} BNSS procedure",
+        f"Victim compensation rights for {offence} NALSA scheme",
+        "Zero FIR registration procedure BNSS",
+    ]
+
+
+class LegalOrchestrator:
+    def __init__(
+        self,
+        engine: RetrievalEngine,
+        classifier: Optional[QueryClassifier] = None,
+        llm: Optional[LLMClient] = None,
+    ):
+        self.engine = engine
+        self.classifier = classifier or QueryClassifier(llm)
+        # (law, section) -> section chunk, for parent expansion
+        # (reference orchestrator.py:19-27)
+        self.section_lookup: Dict[Tuple[str, str], Dict] = {}
+        for chunk in engine.store.chunks:
+            meta = chunk.get("metadata", {})
+            law, section = meta.get("law"), meta.get("section")
+            if law and section and meta.get("unit_type") == "section":
+                self.section_lookup[(law, section)] = chunk
+
+    def orchestrate(self, query: str, k: int = 5) -> Dict[str, Any]:
+        intent = self.classifier.classify(query)
+
+        queries = [query]
+        if intent.user_context == "victim_distress":
+            queries.extend(expansion_queries(intent))
+
+        # per-query hybrid weight: 0.6 procedural else 0.5
+        # (reference orchestrator.py:56)
+        weights = [
+            0.6 if intent.category == "procedure" or "procedure" in q.lower()
+            else 0.5
+            for q in queries
+        ]
+
+        # ONE batched device program for the whole expansion set
+        batched = self.engine.search_batch(queries, k=k, hybrid_weights=weights)
+
+        # merge in query order, dedupe by canonical header
+        # (reference orchestrator.py:58-62)
+        merged: List[Dict] = []
+        seen: set = set()
+        for rows in batched:
+            for r in rows:
+                header = r.chunk.get("canonical_header")
+                if header and header not in seen:
+                    seen.add(header)
+                    merged.append(r.to_dict())
+
+        prioritized = self.prioritize_results(merged, intent)
+        expanded = self.expand_results(prioritized[:k])
+        return {"intent": intent.to_dict(), "results": expanded}
+
+    # -- rule-based boosts (reference orchestrator.py:75-110) ---------------
+
+    def prioritize_results(
+        self, results: List[Dict], intent: QueryIntent
+    ) -> List[Dict]:
+        for res in results:
+            meta = res["chunk"].get("metadata", {})
+            law = str(meta.get("law", "")).upper()
+            boost = 1.0
+
+            if intent.user_context == "victim_distress":
+                sub = intent.sub_intent or ""
+                is_police_task = intent.category in (
+                    "police_duty", "procedure",
+                ) or any(w in sub for w in ("FIR", "report", "police"))
+                if "BNSS" in law or "SOP" in law:
+                    boost += 0.5 if is_police_task else 0.3
+                if "NALSA" in law:
+                    boost += 0.2 if is_police_task else 0.4
+                if "BNS" in law and "BNSS" not in law:
+                    boost -= 0.2
+
+            for entity in intent.key_entities:
+                if entity.upper() in law:
+                    boost += 0.2
+
+            if intent.category in ("definition", "punishment") and "SOP" in law:
+                boost -= 0.3
+
+            res["score"] *= boost
+
+        results.sort(key=lambda r: r["score"], reverse=True)
+        return results
+
+    # -- parent expansion (reference orchestrator.py:112-139) ---------------
+
+    def expand_results(self, results: List[Dict]) -> List[Dict]:
+        final: List[Dict] = []
+        seen: set = set()
+        for res in results:
+            chunk = res["chunk"]
+            header = chunk.get("canonical_header")
+            if header in seen:
+                continue
+            seen.add(header)
+            meta = chunk.get("metadata", {})
+            if meta.get("unit_type") in (
+                "illustration", "explanation", "sub_section",
+            ):
+                parent = self.section_lookup.get(
+                    (meta.get("law"), meta.get("section"))
+                )
+                if parent and parent.get("canonical_header") != header:
+                    res["parent_context"] = parent["text"]
+            final.append(res)
+        return final
