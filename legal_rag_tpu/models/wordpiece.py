@@ -162,14 +162,17 @@ class WordPieceTokenizer:
     ):
         """Padded id / mask matrices for a batch (numpy int32).
 
-        Sequence length is the batch max (rounded up to a multiple of 8
-        for TPU-friendly tiling), capped at ``max_len``.
+        Sequence length is the batch max bucketed to the next power of
+        two (min 32), capped at ``max_len`` — a handful of buckets means
+        a handful of jit compilations instead of one per distinct
+        length (compilation is expensive on remote-compile TPU setups).
         """
         import numpy as np
 
         encoded = [self.encode(t, max_len=max_len) for t in texts]
         longest = max((len(e) for e in encoded), default=1)
-        longest = min(max_len, -(-longest // 8) * 8)
+        longest = max(32, 1 << (longest - 1).bit_length())
+        longest = min(max_len, longest)
         ids = np.full((len(texts), longest), self.pad_id, dtype=np.int32)
         mask = np.zeros((len(texts), longest), dtype=np.int32)
         for i, e in enumerate(encoded):

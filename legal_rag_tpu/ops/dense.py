@@ -80,46 +80,54 @@ def dense_topk_xla(
 # ---------------------------------------------------------------------------
 
 
-def _select_topk_block(s, base_col, k):
-    """Iteratively select the k largest entries of ``s`` ([BQ, BN]).
+# plain Python int — a jnp scalar here would be captured as a constant
+# by Pallas kernels, which pallas_call rejects
+_INT32_MAX = 2**31 - 1
 
-    Returns (scores [BQ, k], global ids [BQ, k]). ``argmax`` takes the
-    first (lowest-column) occurrence, so ties resolve to the lowest id.
-    k is small and static, so the Python loop unrolls into k VPU
-    max-reductions — no sort network needed.
+
+def _take_max_by_id(s, ids):
+    """One selection step: the max score, tie-broken by the LOWEST id.
+
+    Deliberately avoids ``argmax``: on real TPU hardware, argmax inside
+    a Pallas kernel resolves ties to the LAST occurrence (the interpret
+    path gives the first), which silently breaks FAISS-parity ordering
+    for duplicate documents. max-reduce the score, then min-reduce the
+    id over the score-tied set — deterministic on every backend.
+
+    Returns (m [BQ], picked_id [BQ], cleared s).
     """
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    m = jnp.max(s, axis=1)
+    tie = s == m[:, None]
+    picked = jnp.min(jnp.where(tie, ids, _INT32_MAX), axis=1)
+    s = jnp.where(tie & (ids == picked[:, None]), -jnp.inf, s)
+    return m, picked, s
+
+
+def _select_topk_block(s, base_col, k):
+    """Iteratively select the k largest entries of ``s`` ([BQ, BN]),
+    ties to the lowest id. k is small and static, so the Python loop
+    unrolls into k VPU reductions — no sort network needed.
+    Returns (scores [BQ, k], global ids [BQ, k])."""
+    ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + base_col
     out_s, out_i = [], []
     for _ in range(k):
-        m = jnp.max(s, axis=1)
-        am = jnp.argmax(s, axis=1).astype(jnp.int32)
+        m, picked, s = _take_max_by_id(s, ids)
         out_s.append(m)
-        out_i.append(am + base_col)
-        s = jnp.where(col == am[:, None], -jnp.inf, s)
+        out_i.append(picked)
     return jnp.stack(out_s, axis=1), jnp.stack(out_i, axis=1)
 
 
 def _merge_topk(run_s, run_i, blk_s, blk_i, k):
-    """Merge running top-k with a block top-k (both sorted desc).
-
-    The running list is concatenated first, so on score ties ``argmax``
-    prefers the running entry — which always carries the lower document
-    id because blocks are visited in ascending-id order.
-    """
+    """Merge running top-k with a block top-k (both sorted desc), score
+    ties resolved by lowest doc id (running and block id ranges are
+    disjoint, so ids are unique)."""
     cs = jnp.concatenate([run_s, blk_s], axis=1)  # [BQ, 2k]
     ci = jnp.concatenate([run_i, blk_i], axis=1)
-    col = jax.lax.broadcasted_iota(jnp.int32, cs.shape, 1)
     out_s, out_i = [], []
     for _ in range(k):
-        m = jnp.max(cs, axis=1)
-        am = jnp.argmax(cs, axis=1).astype(jnp.int32)
-        sel = col == am[:, None]
-        # masked-max gather of the id at the argmax column (avoids
-        # take_along_axis, which does not lower to TPU Pallas).
-        picked = jnp.max(jnp.where(sel, ci, jnp.int32(-1)), axis=1)
+        m, picked, cs = _take_max_by_id(cs, ci)
         out_s.append(m)
         out_i.append(picked)
-        cs = jnp.where(sel, -jnp.inf, cs)
     return jnp.stack(out_s, axis=1), jnp.stack(out_i, axis=1)
 
 

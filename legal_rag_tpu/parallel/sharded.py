@@ -55,8 +55,26 @@ def _local_dense_topc(q, docs_t_local, base, n_docs, c, precision, use_pallas):
     )
     col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + base
     scores = jnp.where(col < n_docs, scores, -jnp.inf)
-    s, i = jax.lax.top_k(scores, c)
-    return s, i.astype(jnp.int32) + base
+    s, i = _topk_padded(scores, c)
+    return s, jnp.where(i >= 0, i + base, i)
+
+
+def _topk_padded(scores, c):
+    """top_k that tolerates c > row length: missing slots padded with
+    (-inf, -1) so gathered candidate shapes stay [Q, C] on any shard."""
+    width = scores.shape[1]
+    cl = min(c, width)
+    s, i = jax.lax.top_k(scores, cl)
+    i = i.astype(jnp.int32)
+    if cl < c:
+        q = scores.shape[0]
+        s = jnp.concatenate(
+            [s, jnp.full((q, c - cl), -jnp.inf, dtype=s.dtype)], axis=1
+        )
+        i = jnp.concatenate(
+            [i, jnp.full((q, c - cl), -1, dtype=i.dtype)], axis=1
+        )
+    return s, i
 
 
 @functools.partial(
@@ -116,17 +134,18 @@ def sharded_hybrid_search(
         local_max = jnp.max(bm_local, axis=1)
         global_max = jax.lax.pmax(local_max, AXIS)          # [Q]
 
-        # BM25 value at the dense candidates (all local by construction)
+        # BM25 value at the dense candidates (all local by construction;
+        # -1 pad slots and global-padding docs map to 0)
         qidx = jnp.arange(q, dtype=jnp.int32)[:, None]
         cand_local = jnp.clip(d_i - base, 0, n_local - 1)
         d_bm = bm_local[qidx, cand_local]
-        d_bm = jnp.where(d_i >= n_docs, 0.0, d_bm)
+        d_bm = jnp.where((d_i >= n_docs) | (d_i < 0), 0.0, d_bm)
 
         # sparse local candidates (for RRF); mask padding docs
         col = jax.lax.broadcasted_iota(jnp.int32, bm_local.shape, 1) + base
         bm_masked = jnp.where(col < n_docs, bm_local, -jnp.inf)
-        s_s, s_i = jax.lax.top_k(bm_masked, c)
-        s_i = s_i.astype(jnp.int32) + base
+        s_s, s_i = _topk_padded(bm_masked, c)
+        s_i = jnp.where(s_i >= 0, s_i + base, s_i)
 
         # ---- merge candidates across shards (one gather each)
         gather = lambda x: jax.lax.all_gather(x, AXIS)       # [S, Q, C]
@@ -154,7 +173,19 @@ def sharded_hybrid_search(
         else:  # rrf
             top_ss, spos = jax.lax.top_k(all_ss, c)
             top_si = jnp.take_along_axis(all_si, spos, axis=1)
-            f, ids = rrf_fusion(top_di, top_si, k, rrf_k=rrf_k)
+
+            # invalid slots (pad -1 or global-padding docs) must not
+            # accumulate RRF mass: remap each to a unique out-of-range
+            # id so dedupe-by-sort never merges them, then the engine
+            # filters ids >= n_docs
+            def sanitize(ids_, offset):
+                slot = jax.lax.broadcasted_iota(jnp.int32, ids_.shape, 1)
+                bad = (ids_ < 0) | (ids_ >= n_docs)
+                return jnp.where(bad, n_docs + offset + slot, ids_)
+
+            f, ids = rrf_fusion(
+                sanitize(top_di, 0), sanitize(top_si, c), k, rrf_k=rrf_k
+            )
             sem = jnp.zeros_like(f)
             key = jnp.zeros_like(f)
         return f, ids, sem, key
