@@ -75,6 +75,15 @@ def build_index(
         bm25=bm25,
         chunks=chunks,
         wp_vocab=dict(encoder.tokenizer.vocab),
+        encoder_info={
+            "vocab_size": encoder.cfg.vocab_size,
+            "hidden": encoder.cfg.hidden,
+            "layers": encoder.cfg.layers,
+            "heads": encoder.cfg.heads,
+            "intermediate": encoder.cfg.intermediate,
+            "max_len": encoder.cfg.max_len,
+            "seed": getattr(encoder, "seed", 0),
+        },
     )
     if store_dir is not None:
         store.save(store_dir)

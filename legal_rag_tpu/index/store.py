@@ -52,6 +52,8 @@ class VectorStore:
     chunks: List[Dict]              # chunk dicts incl. section_id
     wp_vocab: Optional[Dict[str, int]] = None
     manifest: Optional[Dict] = None
+    encoder_info: Optional[Dict] = None   # encoder arch/seed that built
+                                          # the embeddings (manifest'd)
 
     @property
     def n_docs(self) -> int:
@@ -105,6 +107,7 @@ class VectorStore:
                 "k1": self.bm25.k1, "b": self.bm25.b,
                 "epsilon": self.bm25.epsilon, "avgdl": self.bm25.avgdl,
             },
+            "encoder": self.encoder_info,
             "artifacts": {
                 name: _sha256(store_dir / name) for name in artifacts
             },
@@ -166,4 +169,5 @@ class VectorStore:
             chunks=chunks,
             wp_vocab=wp_vocab,
             manifest=manifest,
+            encoder_info=manifest.get("encoder"),
         )

@@ -42,6 +42,7 @@ class SentenceEncoder:
         seed: int = 0,
     ):
         self.cfg = cfg or EncoderConfig()
+        self.seed = seed
         if tokenizer is None:
             corpus = list(vocab_corpus) if vocab_corpus else ["placeholder"]
             vocab = build_wordpiece_vocab(corpus, size=self.cfg.vocab_size)

@@ -72,14 +72,38 @@ class RetrievalEngine:
         self.config = config
         self.timer = StageTimer()
         if encoder is None:
+            enc_cfg = config.encoder
+            # The store records the encoder that built its embeddings;
+            # query encoding MUST match it, not whatever the session
+            # config happens to default to.
+            if store.encoder_info:
+                info = dict(store.encoder_info)
+                seed = info.pop("seed", 0)
+                enc_cfg = dataclasses.replace(
+                    enc_cfg, **{
+                        k: v for k, v in info.items()
+                        if hasattr(enc_cfg, k) and v is not None
+                    }
+                )
+            else:
+                seed = 0
             if store.wp_vocab:
                 tokenizer = WordPieceTokenizer(store.wp_vocab)
-                encoder = SentenceEncoder(cfg=config.encoder, tokenizer=tokenizer)
+                encoder = SentenceEncoder(
+                    cfg=enc_cfg, tokenizer=tokenizer, seed=seed
+                )
             else:
                 encoder = SentenceEncoder(
-                    cfg=config.encoder,
+                    cfg=enc_cfg,
                     vocab_corpus=[c["text"] for c in store.chunks],
+                    seed=seed,
                 )
+        if encoder.cfg.hidden != store.dim:
+            raise ValueError(
+                f"encoder hidden dim {encoder.cfg.hidden} != store "
+                f"embedding dim {store.dim}; the store was built with a "
+                "different encoder (see manifest['encoder'])"
+            )
         self.encoder = encoder
         self.mesh = mesh or make_mesh(config.sharding.num_shards)
         self.index = ShardedIndex.from_embeddings(store.embeddings, self.mesh)

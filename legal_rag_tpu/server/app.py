@@ -1,0 +1,265 @@
+"""HTTP serving layer.
+
+Mirrors the reference FastAPI app's contract (reference
+src/server/app.py): the server binds immediately while the engine loads
+in a background thread; ``GET /health`` reports the
+loading/ready/error tri-state; ``POST /api/v1/query`` returns the
+structured legal response (503 while loading, 500 on engine errors);
+CORS allow-all. Adds ``GET /rag/source`` (verbatim source fetch, the
+ghost capability) and per-stage latency metrics in /health.
+
+Implemented on asyncio's stream server directly — this image has no
+fastapi/uvicorn, and the handler surface is 3 routes; the engine call
+runs in a worker thread so the event loop keeps serving /health during
+long queries (the reference blocks its event loop here, SURVEY.md §3.1).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import logging
+import os
+import threading
+import time
+import urllib.parse
+from typing import Any, Dict, Optional, Tuple
+
+logger = logging.getLogger("legal-rag-tpu.server")
+
+_CORS_HEADERS = (
+    ("Access-Control-Allow-Origin", "*"),
+    ("Access-Control-Allow-Methods", "*"),
+    ("Access-Control-Allow-Headers", "*"),
+)
+
+
+class EngineHost:
+    """Background-loading engine holder (reference app.py:47-70)."""
+
+    def __init__(self, store_dir: Optional[str] = None, engine=None):
+        self.store_dir = store_dir
+        self.engine = engine
+        self.loading = engine is None
+        self.error: Optional[str] = None
+        self._thread: Optional[threading.Thread] = None
+
+    def start_loading(self) -> None:
+        if self.engine is not None or self._thread is not None:
+            self.loading = self.engine is None and self.error is None
+            return
+        self._thread = threading.Thread(target=self._load, daemon=True)
+        self._thread.start()
+
+    def _load(self) -> None:
+        try:
+            logger.info("background engine load starting")
+            from legal_rag_tpu.retrieval.facade import LegalEngine
+            from legal_rag_tpu.server.source_fetcher import set_default_catalog
+
+            engine = LegalEngine(store_dir=self.store_dir)
+            set_default_catalog(engine.engine.store.chunks)
+            # Warmup: drive one representative query through the full
+            # pipeline while /health still reports "loading" — jit
+            # compilation (minutes on remote-compile TPU setups) must
+            # not land on the first user request.
+            logger.info("warmup query starting (jit compile)")
+            t0 = time.time()
+            engine.query("What is the procedure to file an FIR?")
+            logger.info("warmup complete in %.1fs", time.time() - t0)
+            self.engine = engine
+            logger.info("background engine load complete")
+        except Exception as e:  # noqa: BLE001 — surfaced via /health
+            logger.exception("engine load failed")
+            self.error = str(e)
+        finally:
+            self.loading = False
+
+    @property
+    def status(self) -> str:
+        if self.loading:
+            return "loading"
+        return "ready" if self.engine else "error"
+
+
+def _response_payload(result: Dict[str, Any]) -> Dict[str, Any]:
+    """Engine dict -> the reference LegalResponseModel shape
+    (reference app.py:120-141)."""
+    raw = result["response"]
+    return {
+        "answer": raw.get("answer", ""),
+        "safety_alert": raw.get("safety_alert"),
+        "immediate_action_plan": raw.get("immediate_action_plan", []),
+        "legal_basis": raw.get("legal_basis", ""),
+        "procedure_steps": raw.get("procedure_steps", []),
+        "important_notes": raw.get("important_notes", []),
+        "sources": [
+            {
+                "law": s.get("law", "Unknown"),
+                "section": s.get("section", "Unknown"),
+                "citation": s.get("citation", "Unknown"),
+                "text": s.get("content", ""),
+            }
+            for s in raw.get("sources", [])
+        ],
+        "metadata": result.get("intent", {}),
+        "context_used": result.get("context_used", []),
+    }
+
+
+class HttpApp:
+    def __init__(self, host: EngineHost):
+        self.host = host
+        self.timer_totals: Dict[str, float] = {}
+
+    # -- routing -----------------------------------------------------------
+
+    async def handle(
+        self, method: str, path: str, query: Dict[str, str], body: bytes
+    ) -> Tuple[int, Dict[str, Any]]:
+        if method == "OPTIONS":
+            return 204, {}
+        if method == "GET" and path == "/health":
+            return self._health()
+        if method == "POST" and path == "/api/v1/query":
+            return await self._query(body)
+        if method == "GET" and path == "/rag/source":
+            return self._source(query)
+        return 404, {"detail": "not found"}
+
+    def _health(self) -> Tuple[int, Dict[str, Any]]:
+        payload: Dict[str, Any] = {
+            "status": "ok" if self.host.engine else "starting",
+            "engine_status": self.host.status,
+            "error": self.host.error,
+        }
+        if self.host.engine is not None:
+            payload["stage_latency"] = (
+                self.host.engine.engine.timer.snapshot()
+            )
+        return 200, payload
+
+    async def _query(self, body: bytes) -> Tuple[int, Dict[str, Any]]:
+        if self.host.loading:
+            return 503, {"detail": "Legal Engine is still loading. Please wait."}
+        if not self.host.engine:
+            return 503, {
+                "detail": f"Legal Engine failed to load: {self.host.error}"
+            }
+        try:
+            request = json.loads(body or b"{}")
+        except json.JSONDecodeError:
+            return 400, {"detail": "invalid JSON body"}
+        query_text = request.get("query")
+        if not query_text or not isinstance(query_text, str):
+            return 422, {"detail": "field 'query' (string) is required"}
+
+        start = time.time()
+        try:
+            result = await asyncio.get_event_loop().run_in_executor(
+                None, self.host.engine.query, query_text
+            )
+        except Exception as e:  # noqa: BLE001 — 500 with detail
+            logger.exception("query failed")
+            return 500, {"detail": str(e)}
+        logger.info("query processed in %.2fs", time.time() - start)
+        return 200, _response_payload(result)
+
+    def _source(self, query: Dict[str, str]) -> Tuple[int, Dict[str, Any]]:
+        from legal_rag_tpu.server.schemas import SourceType
+        from legal_rag_tpu.server.source_fetcher import fetch_source_content
+
+        raw_type = query.get("source_type", "")
+        section_id = query.get("section_id", "")
+        try:
+            source_type = SourceType(raw_type)
+        except ValueError:
+            return 422, {
+                "detail": f"unknown source_type {raw_type!r}; one of "
+                f"{[t.value for t in SourceType]}"
+            }
+        result = fetch_source_content(
+            source_type, section_id,
+            highlight_snippet=query.get("highlight_snippet") or None,
+        )
+        if result is None:
+            return 404, {"detail": f"source {section_id!r} not found"}
+        return 200, json.loads(result.model_dump_json())
+
+
+async def _serve_connection(app: HttpApp, reader, writer) -> None:
+    try:
+        request_line = await reader.readline()
+        if not request_line:
+            return
+        try:
+            method, target, _ = request_line.decode("latin1").split(" ", 2)
+        except ValueError:
+            return
+        headers: Dict[str, str] = {}
+        while True:
+            line = await reader.readline()
+            if line in (b"\r\n", b"\n", b""):
+                break
+            key, _, value = line.decode("latin1").partition(":")
+            headers[key.strip().lower()] = value.strip()
+        length = int(headers.get("content-length", "0") or "0")
+        body = await reader.readexactly(length) if length else b""
+
+        parsed = urllib.parse.urlsplit(target)
+        query = dict(urllib.parse.parse_qsl(parsed.query))
+        status, payload = await app.handle(
+            method.upper(), parsed.path, query, body
+        )
+        data = json.dumps(payload).encode() if status != 204 else b""
+        lines = [
+            f"HTTP/1.1 {status} {'OK' if status < 400 else 'ERR'}",
+            "Content-Type: application/json",
+            f"Content-Length: {len(data)}",
+            "Connection: close",
+        ]
+        lines.extend(f"{k}: {v}" for k, v in _CORS_HEADERS)
+        writer.write(("\r\n".join(lines) + "\r\n\r\n").encode() + data)
+        await writer.drain()
+    except Exception:  # noqa: BLE001 — connection-level robustness
+        logger.exception("connection handler error")
+    finally:
+        try:
+            writer.close()
+            await writer.wait_closed()
+        except Exception:  # noqa: BLE001
+            pass
+
+
+async def run_server(
+    store_dir: Optional[str] = None,
+    host: str = "0.0.0.0",
+    port: int = 8000,
+    engine=None,
+    ready_event: Optional[asyncio.Event] = None,
+) -> None:
+    engine_host = EngineHost(store_dir=store_dir, engine=engine)
+    engine_host.start_loading()
+    app = HttpApp(engine_host)
+    server = await asyncio.start_server(
+        lambda r, w: _serve_connection(app, r, w), host, port
+    )
+    logger.info("serving on %s:%d (engine loading in background)", host, port)
+    if ready_event is not None:
+        ready_event.set()
+    async with server:
+        await server.serve_forever()
+
+
+def main() -> None:
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s - %(name)s - %(levelname)s - %(message)s",
+    )
+    port = int(os.getenv("PORT", "8000"))
+    store_dir = os.getenv("LEGAL_RAG_STORE", "data/vector_store")
+    asyncio.run(run_server(store_dir=store_dir, port=port))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,184 @@
+"""HTTP server contract tests: tri-state health, 503-while-loading,
+query response shape, /rag/source endpoint — exercised over real
+sockets against a live server task."""
+
+import asyncio
+import json
+import socket
+import threading
+import urllib.request
+
+import pytest
+
+from legal_rag_tpu.server.app import EngineHost, HttpApp, run_server
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _get(port, path):
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}{path}", timeout=10
+        ) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _post(port, path, payload):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=60) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+@pytest.fixture(scope="module")
+def server_port(legal_engine_module):
+    """Server with a pre-built offline engine injected."""
+    port = _free_port()
+    ready = threading.Event()
+    loop_holder = {}
+
+    def run():
+        loop = asyncio.new_event_loop()
+        loop_holder["loop"] = loop
+        ev = asyncio.Event()
+
+        async def notify():
+            await ev.wait()
+            ready.set()
+
+        loop.create_task(notify())
+        try:
+            loop.run_until_complete(
+                run_server(
+                    engine=legal_engine_module, port=port,
+                    host="127.0.0.1", ready_event=ev,
+                )
+            )
+        except Exception:
+            pass
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    assert ready.wait(timeout=30), "server failed to start"
+    yield port
+    loop = loop_holder.get("loop")
+    if loop:
+        loop.call_soon_threadsafe(loop.stop)
+
+
+@pytest.fixture(scope="module")
+def legal_engine_module(tmp_path_factory):
+    from legal_rag_tpu.config import (
+        RetrievalConfig, EncoderConfig, ShardingConfig,
+    )
+    from legal_rag_tpu.index.builder import build_index
+    from legal_rag_tpu.retrieval.facade import LegalEngine
+    from legal_rag_tpu.server.source_fetcher import set_default_catalog
+
+    cfg = RetrievalConfig(
+        encoder=EncoderConfig(
+            vocab_size=8000, hidden=32, layers=2, heads=4,
+            intermediate=64, max_len=64, encode_batch=512,
+        ),
+        sharding=ShardingConfig(num_shards=2),
+    )
+    store = build_index("/root/reference/legal_chunks.json", config=cfg)
+    # give the source fetcher real section ids
+    from legal_rag_tpu.ingest import parse_corpus
+
+    chunks = []
+    for c in parse_corpus("/root/reference/documents"):
+        d = c.to_reference_dict()
+        d["section_id"] = c.section_id
+        chunks.append(d)
+    set_default_catalog(chunks)
+    return LegalEngine(store=store, config=cfg, use_llm=False)
+
+
+def test_health_ready(server_port):
+    status, body = _get(server_port, "/health")
+    assert status == 200
+    assert body["status"] == "ok"
+    assert body["engine_status"] == "ready"
+    assert body["error"] is None
+
+
+def test_query_roundtrip(server_port):
+    status, body = _post(
+        server_port, "/api/v1/query",
+        {"query": "I was robbed at gunpoint, what should I do?"},
+    )
+    assert status == 200
+    assert len(body["answer"]) >= 10
+    assert body["safety_alert"]
+    assert body["immediate_action_plan"]
+    assert body["sources"] and body["sources"][0]["citation"]
+    assert body["metadata"]["user_context"] == "victim_distress"
+    # stage metrics now visible in health
+    status, health = _get(server_port, "/health")
+    assert "device_search" in health["stage_latency"]
+
+
+def test_query_validation_errors(server_port):
+    status, body = _post(server_port, "/api/v1/query", {})
+    assert status == 422
+    status, _ = _post(server_port, "/api/v1/query", {"query": 42})
+    assert status == 422
+
+
+def test_unknown_route_404(server_port):
+    status, _ = _get(server_port, "/nope")
+    assert status == 404
+
+
+def test_source_endpoint(server_port):
+    status, body = _get(
+        server_port,
+        "/rag/source?source_type=bnss&section_id=Section%20183",
+    )
+    assert status == 200
+    assert "183" in body["section_id"]
+    assert len(body["content"]) > 0
+    status, _ = _get(
+        server_port, "/rag/source?source_type=bogus&section_id=1"
+    )
+    assert status == 422
+    status, _ = _get(
+        server_port, "/rag/source?source_type=bnss&section_id=99999"
+    )
+    assert status == 404
+
+
+def test_engine_host_tri_state():
+    host = EngineHost(store_dir="/nonexistent/path")
+    assert host.status == "loading"
+    host._load()  # synchronous load against a bad path
+    assert host.status == "error"
+    assert host.error
+
+
+def test_503_while_loading():
+    """Query against a still-loading host returns 503 with the
+    reference's message (app.py:111-114 contract)."""
+    host = EngineHost(store_dir=None)
+    app = HttpApp(host)
+    status, body = asyncio.run(
+        app.handle("POST", "/api/v1/query", {}, b'{"query": "x"}')
+    )
+    assert status == 503
+    assert "loading" in body["detail"].lower()
