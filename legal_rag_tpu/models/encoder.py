@@ -48,6 +48,18 @@ class SentenceEncoder:
             vocab = build_wordpiece_vocab(corpus, size=self.cfg.vocab_size)
             tokenizer = WordPieceTokenizer(vocab)
         self.tokenizer = tokenizer
+        # native C++ tokenizer when built (parity-tested drop-in);
+        # falls back to the pure-Python path transparently
+        self._fast_tokenizer = None
+        try:
+            from legal_rag_tpu import native_ext
+
+            if native_ext.native_available():
+                self._fast_tokenizer = native_ext.NativeWordPiece(
+                    tokenizer.vocab
+                )
+        except Exception:  # noqa: BLE001 — accelerator only
+            self._fast_tokenizer = None
         if params is None:
             # vocab may be smaller than cfg.vocab_size; size the table
             # to the tokenizer so ids always index in range.
@@ -72,9 +84,10 @@ class SentenceEncoder:
         del normalize  # embeddings are always L2-normalized (cosine)
         batch_size = batch_size or self.cfg.encode_batch
         out = []
+        tokenizer = self._fast_tokenizer or self.tokenizer
         for lo in range(0, len(texts), batch_size):
             chunk = texts[lo : lo + batch_size]
-            ids, mask = self.tokenizer.encode_batch(
+            ids, mask = tokenizer.encode_batch(
                 chunk, max_len=self.cfg.max_len
             )
             emb = minilm_encode(
