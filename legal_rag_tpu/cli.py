@@ -1,0 +1,126 @@
+"""Command-line interface.
+
+Replaces the reference's loose scripts (``python ingest_legal_docs.py``,
+``python create_vector_store.py``, ``uvicorn src.server.app:app`` —
+reference README.md:139-142) with one entry point:
+
+    python -m legal_rag_tpu ingest  --docs DIR --out chunks.json
+    python -m legal_rag_tpu build   --source DIR_OR_JSON --store DIR
+    python -m legal_rag_tpu search  --store DIR --query "..." [--k 5]
+    python -m legal_rag_tpu serve   --store DIR [--port 8000]
+    python -m legal_rag_tpu eval    --store DIR [--report out.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _cmd_ingest(args) -> int:
+    from legal_rag_tpu.ingest import parse_corpus
+    from legal_rag_tpu.ingest.pipeline import law_counts
+
+    chunks = parse_corpus(args.docs)
+    data = []
+    for c in chunks:
+        d = c.to_reference_dict()
+        d["section_id"] = c.section_id
+        data.append(d)
+    with open(args.out, "w", encoding="utf-8") as f:
+        json.dump(data, f, ensure_ascii=False, indent=2)
+    print(f"{len(chunks)} chunks -> {args.out}")
+    for law, count in law_counts(chunks).items():
+        print(f"  {law}: {count}")
+    return 0
+
+
+def _cmd_build(args) -> int:
+    from legal_rag_tpu.index.builder import build_index
+
+    store = build_index(args.source, store_dir=args.store)
+    print(
+        f"index built: {store.n_docs} docs x {store.dim}d, "
+        f"bm25 vocab {store.bm25.vocab_size} -> {args.store}"
+    )
+    return 0
+
+
+def _cmd_search(args) -> int:
+    from legal_rag_tpu.index.store import VectorStore
+    from legal_rag_tpu.retrieval.engine import RetrievalEngine
+
+    store = VectorStore.load(args.store)
+    engine = RetrievalEngine(store)
+    results = engine.search(args.query, k=args.k, hybrid_weight=args.weight)
+    for i, r in enumerate(results, 1):
+        header = r["chunk"]["canonical_header"].replace("\n", " | ")
+        print(
+            f"[{i}] score={r['score']:.4f} sem={r['semantic']:.4f} "
+            f"kw={r['keyword']:.4f}  {header}"
+        )
+    return 0
+
+
+def _cmd_serve(args) -> int:
+    import asyncio
+    import logging
+
+    from legal_rag_tpu.server.app import run_server
+
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s - %(name)s - %(levelname)s - %(message)s",
+    )
+    asyncio.run(run_server(store_dir=args.store, port=args.port))
+    return 0
+
+
+def _cmd_eval(args) -> int:
+    from legal_rag_tpu.quality import run_quality_eval
+
+    report = run_quality_eval(args.store, report_path=args.report)
+    passed = sum(1 for r in report["results"] if r["passed"])
+    print(f"quality eval: {passed}/{len(report['results'])} passed")
+    return 0 if passed == len(report["results"]) else 1
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="legal_rag_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("ingest", help="parse legal markdown into chunks")
+    p.add_argument("--docs", required=True)
+    p.add_argument("--out", default="legal_chunks.json")
+    p.set_defaults(fn=_cmd_ingest)
+
+    p = sub.add_parser("build", help="build the vector store")
+    p.add_argument("--source", required=True,
+                   help="documents dir or chunks json")
+    p.add_argument("--store", required=True)
+    p.set_defaults(fn=_cmd_build)
+
+    p = sub.add_parser("search", help="query a store from the CLI")
+    p.add_argument("--store", required=True)
+    p.add_argument("--query", required=True)
+    p.add_argument("--k", type=int, default=5)
+    p.add_argument("--weight", type=float, default=0.5)
+    p.set_defaults(fn=_cmd_search)
+
+    p = sub.add_parser("serve", help="run the HTTP server")
+    p.add_argument("--store", required=True)
+    p.add_argument("--port", type=int, default=8000)
+    p.set_defaults(fn=_cmd_serve)
+
+    p = sub.add_parser("eval", help="run the quality gate")
+    p.add_argument("--store", required=True)
+    p.add_argument("--report", default="quality_report.json")
+    p.set_defaults(fn=_cmd_eval)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
