@@ -208,7 +208,9 @@ def dense_topk_pallas(
 
     qp = -(-q // block_q) * block_q
     np_ = -(-n // block_n) * block_n
-    queries = _pad_to(queries.astype(jnp.float32), qp, 0)
+    # keep the caller's dtype (bf16 fast mode casts queries upstream);
+    # accumulation is always fp32 via preferred_element_type
+    queries = _pad_to(queries, qp, 0)
     docs_t = _pad_to(docs_t, np_, 1)
 
     grid = (qp // block_q, np_ // block_n)

@@ -113,6 +113,32 @@ class BM25Index:
                     break
         return out_ids, out_w
 
+    def query_term_meta(
+        self, queries: Sequence[str], max_terms: int = 32
+    ):
+        """Host-side metadata for the DEVICE postings gather: per query
+        term, its CSR row start, length, and multiplicity —
+        ``(starts, lens, counts)`` each ``[Q, max_terms]`` int32. This
+        is O(query terms) scalar work; the heavy postings movement then
+        happens on-device (:func:`bm25_gather_postings_device`), which
+        is the layout that scales when postings live in HBM.
+        """
+        q = len(queries)
+        starts = np.zeros((q, max_terms), dtype=np.int32)
+        lens = np.zeros((q, max_terms), dtype=np.int32)
+        counts = np.zeros((q, max_terms), dtype=np.int32)
+        for qi, query in enumerate(queries):
+            agg: Dict[int, int] = {}
+            for t in self.query_term_ids(query):
+                agg[t] = agg.get(t, 0) + 1
+            for slot, (t, c) in enumerate(agg.items()):
+                if slot >= max_terms:
+                    break
+                starts[qi, slot] = self.indptr[t]
+                lens[qi, slot] = self.indptr[t + 1] - self.indptr[t]
+                counts[qi, slot] = c
+        return starts, lens, counts
+
     def postings_budget(self, queries: Sequence[str]) -> int:
         """Smallest power-of-two budget covering the batch (bucketed so
         jit recompiles at most log2 times)."""
@@ -191,6 +217,56 @@ def build_bm25(
 
 
 # ---------------------------------------------------------------------------
+# Device-side postings gather
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("budget",))
+def bm25_gather_postings_device(
+    starts: jax.Array,     # [Q, T] CSR row starts per query term
+    lens: jax.Array,       # [Q, T] postings lengths
+    counts: jax.Array,     # [Q, T] query-term multiplicities
+    doc_ids: jax.Array,    # [nnz] device-resident postings
+    weights: jax.Array,    # [nnz]
+    budget: int,           # static output width P
+):
+    """Build the ``[Q, P]`` (doc_id, weight) postings batch ON DEVICE.
+
+    The host only ships the tiny ``[Q, T]`` term metadata; the actual
+    postings (potentially hundreds of MB, HBM-resident) are flattened
+    with a segmented-iota: output slot ``p`` belongs to the term whose
+    cumulative output range covers ``p``; its posting index is
+    ``start[term] + (p - out_offset[term])``. Everything is dense VPU
+    arithmetic + two big gathers — no host postings traffic, no scatter.
+
+    Slots past a query's total postings get ``doc_id = -1`` / weight 0
+    (dropped by the scoring scatter / shard remap).
+    """
+    q, t = starts.shape
+    out_offs = jnp.cumsum(lens, axis=1) - lens            # exclusive [Q, T]
+    total = jnp.sum(lens, axis=1)                         # [Q]
+
+    p = jnp.arange(budget, dtype=jnp.int32)[None, :]      # [1, P]
+    # term owning slot p: (# terms with out_off <= p) - 1
+    term_idx = (
+        jnp.sum(out_offs[:, :, None] <= p[:, None, :], axis=1) - 1
+    ).astype(jnp.int32)                                   # [Q, P]
+    term_idx = jnp.clip(term_idx, 0, t - 1)
+
+    take = lambda m: jnp.take_along_axis(m, term_idx, axis=1)
+    within = p - take(out_offs)
+    idx = take(starts) + within
+    valid = (p < total[:, None]) & (within < take(lens))
+
+    idx = jnp.where(valid, idx, 0)
+    post_ids = jnp.where(valid, doc_ids[idx], -1)
+    post_w = jnp.where(
+        valid, weights[idx] * take(counts).astype(jnp.float32), 0.0
+    )
+    return post_ids.astype(jnp.int32), post_w
+
+
+# ---------------------------------------------------------------------------
 # Device-side scoring
 # ---------------------------------------------------------------------------
 
@@ -204,6 +280,12 @@ def bm25_score_batch(
     reference retrieval_engine.py:68). Padding ids ``>= n_docs`` drop.
     """
     q = post_ids.shape[0]
+    # negative indices WRAP under jnp scatter even with mode="drop"
+    # (normalization precedes the bounds check) — remap every
+    # out-of-range id to n_docs, which genuinely drops
+    post_ids = jnp.where(
+        (post_ids >= 0) & (post_ids < n_docs), post_ids, n_docs
+    )
     scores = jnp.zeros((q, n_docs), dtype=jnp.float32)
     return scores.at[
         jnp.arange(q, dtype=jnp.int32)[:, None], post_ids

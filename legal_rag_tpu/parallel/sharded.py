@@ -41,10 +41,17 @@ AXIS = "shard"
 
 
 def _local_dense_topc(q, docs_t_local, base, n_docs, c, precision, use_pallas):
-    """Local [Q, C] dense candidates with global ids; padding masked."""
+    """Local [Q, C] dense candidates with global ids; padding masked.
+
+    When the document shard is stored bfloat16 (2x HBM bandwidth, the
+    fast serving mode), queries cast to bf16 and the matmul runs a
+    single MXU pass; fp32 docs keep the requested (parity) precision.
+    """
+    if docs_t_local.dtype == jnp.bfloat16:
+        q = q.astype(jnp.bfloat16)
+        precision = jax.lax.Precision.DEFAULT
     if use_pallas:
         s, i = dense_topk_pallas(q, docs_t_local, c, precision=precision)
-        n_local = docs_t_local.shape[1]
         # re-mask global padding (pallas masked only local range)
         gids = i + base
         s = jnp.where(gids < n_docs, s, -jnp.inf)
@@ -211,8 +218,13 @@ class ShardedIndex:
 
     @classmethod
     def from_embeddings(
-        cls, embeddings: np.ndarray, mesh: Optional[Mesh] = None
+        cls,
+        embeddings: np.ndarray,
+        mesh: Optional[Mesh] = None,
+        dtype: str = "float32",
     ) -> "ShardedIndex":
+        """dtype='bfloat16' stores the doc matrix at half the HBM
+        footprint/bandwidth (fast mode; exact-parity mode is float32)."""
         from legal_rag_tpu.parallel.mesh import make_mesh
 
         mesh = mesh or make_mesh()
@@ -222,9 +234,13 @@ class ShardedIndex:
         # keep the transposed layout contiguous per shard column-block
         docs_t = np.zeros((d, n_pad), dtype=np.float32)
         docs_t[:, :n] = np.ascontiguousarray(embeddings.T)
+        device = jnp.asarray(
+            docs_t,
+            dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32,
+        )
         sharding = NamedSharding(mesh, P(None, AXIS))
         return cls(
-            docs_t=jax.device_put(docs_t, sharding),
+            docs_t=jax.device_put(device, sharding),
             mesh=mesh,
             n_docs=n,
         )

@@ -106,7 +106,9 @@ class RetrievalEngine:
             )
         self.encoder = encoder
         self.mesh = mesh or make_mesh(config.sharding.num_shards)
-        self.index = ShardedIndex.from_embeddings(store.embeddings, self.mesh)
+        self.index = ShardedIndex.from_embeddings(
+            store.embeddings, self.mesh, dtype=config.dense.dtype
+        )
         # default to the fused Pallas kernel only on real TPU backends
         if use_pallas is None:
             use_pallas = jax.devices()[0].platform == "tpu"
