@@ -127,11 +127,19 @@ class RetrievalEngine:
         cfg = self.config
         k = k or cfg.k
         mode = mode or cfg.fusion.mode
+        n_real = len(queries)
         if hybrid_weights is None:
-            hybrid_weights = [cfg.fusion.hybrid_weight] * len(queries)
+            hybrid_weights = [cfg.fusion.hybrid_weight] * n_real
+
+        # Bucket the query count to a power of two (min 8): one compiled
+        # executable per bucket instead of one per batch size, and tiny
+        # batches ride the well-trodden vector shapes.
+        q_pad = _pad_pow2(n_real)
+        queries = list(queries) + [""] * (q_pad - n_real)
+        hybrid_weights = list(hybrid_weights) + [0.0] * (q_pad - n_real)
 
         with self.timer.stage("encode"):
-            q_emb = self.encoder.encode(list(queries))
+            q_emb = self.encoder.encode(queries)
         with self.timer.stage("postings"):
             budget = _pad_pow2(self.store.bm25.postings_budget(queries))
             post_ids, post_w = self.store.bm25.gather_postings(queries, budget)
@@ -154,7 +162,7 @@ class RetrievalEngine:
             sem, key = np.asarray(sem), np.asarray(key)
 
         out: List[List[SearchResult]] = []
-        for qi in range(len(queries)):
+        for qi in range(n_real):
             row = []
             for j in range(k):
                 doc = int(ids[qi, j])
