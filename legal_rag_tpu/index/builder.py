@@ -60,6 +60,27 @@ def build_index(
         chunks = _chunk_dicts(source)
 
     texts = [c["text"] for c in chunks]
+
+    # Resumable builds: the corpus+config identity hashes into the
+    # manifest; a store_dir already holding a matching build is reused
+    # instead of re-encoding (SURVEY.md §5.4 checkpoint/resume).
+    import hashlib
+
+    h = hashlib.sha256()
+    for t in texts:
+        h.update(t.encode("utf-8"))
+        h.update(b"\x00")
+    h.update(repr((config.encoder, config.bm25)).encode())
+    corpus_hash = h.hexdigest()
+    if store_dir is not None:
+        manifest_path = Path(store_dir) / "manifest.json"
+        if manifest_path.exists():
+            try:
+                existing = VectorStore.load(store_dir)
+                if existing.corpus_hash == corpus_hash:
+                    return existing
+            except Exception:  # noqa: BLE001 — fall through to rebuild
+                pass
     if encoder is None:
         encoder = SentenceEncoder(cfg=config.encoder, vocab_corpus=texts)
 
@@ -84,6 +105,7 @@ def build_index(
             "max_len": encoder.cfg.max_len,
             "seed": getattr(encoder, "seed", 0),
         },
+        corpus_hash=corpus_hash,
     )
     if store_dir is not None:
         store.save(store_dir)

@@ -54,6 +54,8 @@ class VectorStore:
     manifest: Optional[Dict] = None
     encoder_info: Optional[Dict] = None   # encoder arch/seed that built
                                           # the embeddings (manifest'd)
+    corpus_hash: Optional[str] = None     # identity of the ingested
+                                          # corpus (resumable builds)
 
     @property
     def n_docs(self) -> int:
@@ -108,6 +110,7 @@ class VectorStore:
                 "epsilon": self.bm25.epsilon, "avgdl": self.bm25.avgdl,
             },
             "encoder": self.encoder_info,
+            "corpus_hash": self.corpus_hash,
             "artifacts": {
                 name: _sha256(store_dir / name) for name in artifacts
             },
@@ -170,4 +173,5 @@ class VectorStore:
             wp_vocab=wp_vocab,
             manifest=manifest,
             encoder_info=manifest.get("encoder"),
+            corpus_hash=manifest.get("corpus_hash"),
         )

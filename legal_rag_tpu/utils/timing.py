@@ -8,9 +8,10 @@ the same context manager."""
 from __future__ import annotations
 
 import contextlib
+import os
 import time
 from collections import defaultdict
-from typing import Dict, Optional
+from typing import Dict
 
 
 class StageTimer:
@@ -20,10 +21,16 @@ class StageTimer:
         self._last: Dict[str, float] = {}
 
     @contextlib.contextmanager
-    def stage(self, name: str, profile: bool = False):
-        ctx = (
-            contextlib.nullcontext()
-        )
+    def stage(self, name: str):
+        """Time a pipeline stage. When LEGAL_RAG_PROFILE is set, the
+        stage also emits a jax.profiler TraceAnnotation so device-side
+        work shows up named in TensorBoard/xprof traces."""
+        if os.environ.get("LEGAL_RAG_PROFILE"):
+            import jax.profiler
+
+            ctx = jax.profiler.TraceAnnotation(name)
+        else:
+            ctx = contextlib.nullcontext()
         start = time.perf_counter()
         try:
             with ctx:
@@ -49,3 +56,17 @@ class StageTimer:
         self._totals.clear()
         self._counts.clear()
         self._last.clear()
+
+
+@contextlib.contextmanager
+def device_trace(log_dir: str):
+    """Capture a jax.profiler trace for everything in the scope —
+    the profiling hook SURVEY.md §5.1 calls for (the reference only
+    logs whole-request wall clock)."""
+    import jax.profiler
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()

@@ -1,0 +1,56 @@
+"""Resumable index builds: matching corpus+config reuses artifacts,
+changed corpus rebuilds."""
+
+import numpy as np
+
+from legal_rag_tpu.config import RetrievalConfig, EncoderConfig
+from legal_rag_tpu.index.builder import build_index
+
+CFG = RetrievalConfig(
+    encoder=EncoderConfig(
+        vocab_size=500, hidden=32, layers=1, heads=4,
+        intermediate=64, max_len=32, encode_batch=64,
+    )
+)
+
+
+def _chunks(texts):
+    return [
+        {"text": t, "metadata": {"law": "T"}, "canonical_header": f"H{i}"}
+        for i, t in enumerate(texts)
+    ]
+
+
+def test_rebuild_skipped_when_corpus_unchanged(tmp_path):
+    texts = ["alpha beta", "gamma delta", "epsilon zeta"]
+    s1 = build_index(_chunks(texts), config=CFG, store_dir=tmp_path)
+    assert s1.corpus_hash
+    mtime = (tmp_path / "embeddings.npy").stat().st_mtime_ns
+
+    s2 = build_index(_chunks(texts), config=CFG, store_dir=tmp_path)
+    assert s2.corpus_hash == s1.corpus_hash
+    # artifacts untouched — the build was skipped
+    assert (tmp_path / "embeddings.npy").stat().st_mtime_ns == mtime
+    np.testing.assert_array_equal(s1.embeddings, s2.embeddings)
+
+
+def test_rebuild_triggered_on_corpus_change(tmp_path):
+    s1 = build_index(_chunks(["alpha beta"]), config=CFG, store_dir=tmp_path)
+    s2 = build_index(
+        _chunks(["alpha beta", "new document"]), config=CFG,
+        store_dir=tmp_path,
+    )
+    assert s2.corpus_hash != s1.corpus_hash
+    assert s2.n_docs == 2
+
+
+def test_rebuild_triggered_on_config_change(tmp_path):
+    import dataclasses
+
+    s1 = build_index(_chunks(["alpha beta"]), config=CFG, store_dir=tmp_path)
+    cfg2 = dataclasses.replace(
+        CFG, encoder=dataclasses.replace(CFG.encoder, hidden=64)
+    )
+    s2 = build_index(_chunks(["alpha beta"]), config=cfg2, store_dir=tmp_path)
+    assert s2.corpus_hash != s1.corpus_hash
+    assert s2.dim == 64
