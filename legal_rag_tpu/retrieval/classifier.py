@@ -54,6 +54,24 @@ _OFFENCES = (
     "acid attack", "stalking", "dowry", "cheating", "extortion",
     "burglary", "molestation", "harassment",
 )
+
+# verb/participle forms -> canonical offence entity
+_OFFENCE_FORMS = {
+    "robbed": "robbery",
+    "raped": "rape",
+    "assaulted": "assault",
+    "stolen": "theft",
+    "stole": "theft",
+    "burgled": "burglary",
+    "cheated": "cheating",
+    "kidnapped": "kidnapping",
+    "abducted": "kidnapping",
+    "stalked": "stalking",
+    "harassed": "harassment",
+    "murdered": "murder",
+    "extorted": "extortion",
+    "molested": "molestation",
+}
 _LAWS = ("BNS", "BNSS", "BSA", "NALSA", "IPC", "CRPC")
 
 _CATEGORY_RULES = (
@@ -89,6 +107,9 @@ def classify_heuristic(query: str) -> QueryIntent:
             entities.append(law)
     for off in _OFFENCES:
         if off in q:
+            entities.append(off)
+    for form, off in _OFFENCE_FORMS.items():
+        if form in q and off not in entities:
             entities.append(off)
     for sec in re.findall(r"section\s+(\d+[a-z]?)", q):
         entities.append(f"Section {sec}")

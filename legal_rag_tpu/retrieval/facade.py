@@ -56,7 +56,7 @@ class LegalEngine:
             context=orchestration["results"],
             intent=orchestration["intent"],
         )
-        return {
+        result = {
             "query": query_text,
             "intent": orchestration["intent"],
             "response": response.to_dict(),
@@ -69,3 +69,49 @@ class LegalEngine:
                 for c in orchestration["results"]
             ],
         }
+        result["adapted"] = self._adapted_view(result, orchestration)
+        return result
+
+    def _adapted_view(
+        self, result: Dict[str, Any], orchestration: Dict[str, Any]
+    ) -> Dict[str, Any]:
+        """Timeline anchors + confidence + sentence attribution over
+        the engine result (the response layer the reference only
+        specified in its ghost-module tests)."""
+        from legal_rag_tpu.server.adapter import (
+            adapt_response, rag_view_from_engine,
+        )
+        from legal_rag_tpu.server.sentence_attribution import (
+            compute_sentence_attribution,
+        )
+
+        rag_view = rag_view_from_engine(result)
+        adapted = adapt_response(rag_view, result["query"])
+
+        citations = []
+        for c in orchestration["results"]:
+            chunk = c["chunk"]
+            sid = chunk.get("section_id")
+            law = str(chunk.get("metadata", {}).get("law", "")).lower()
+            if not sid:
+                continue
+            source_type = {
+                "bns": "bns", "bnss": "bnss", "bsa": "bsa",
+                "nalsa": "nalsa",
+            }.get(law, "general_sop" if sid.startswith("GSOP") else "rape_sop")
+            citations.append({
+                "source_type": source_type,
+                "source_id": sid,
+                "display": chunk.get("canonical_header", "").replace(
+                    "\n", " — "
+                ),
+                "context_snippet": chunk.get("text", "")[:200],
+            })
+        attribution = compute_sentence_attribution(
+            result["response"].get("answer", ""),
+            citations,
+            getattr(self.responder, "llm", None),
+        )
+        out = adapted.model_dump()
+        out["sentence_attribution"] = attribution
+        return out

@@ -134,6 +134,76 @@ def _normalize_case_type(case_type: Optional[str]) -> str:
     return key if key in TIMELINE_ANCHORS else "general"
 
 
+_STAGE_KEYWORDS = (
+    ("fir_registration", ("fir", "first information", "complaint",
+                          "petition", "information in cognizable")),
+    ("medical_examination", ("medical examination", "medical", "184")),
+    ("statement_recording", ("statement", "examination of witnesses",
+                             "witness", "180 bnss", "183")),
+    ("victim_protection", ("protection", "dignity", "treatment of victim",
+                           "compensation")),
+    ("investigation_commencement", ("investigation", "search", "seizure",
+                                    "evidence", "crime scene")),
+)
+
+
+def infer_stage(chunk: Dict[str, Any]) -> Optional[str]:
+    """Map a retrieved chunk onto a procedural stage by its headings —
+    the bridge from this framework's chunks (which carry structural
+    metadata, not stage labels) into the anchor-evidence pass."""
+    meta = chunk.get("metadata", {})
+    probe = " ".join(
+        str(meta.get(key) or "")
+        for key in ("chapter_title", "section_title", "step")
+    ).lower()
+    if not probe.strip():
+        probe = chunk.get("canonical_header", "").lower()
+    for stage, needles in _STAGE_KEYWORDS:
+        if any(n in probe for n in needles):
+            return stage
+    return None
+
+
+def rag_view_from_engine(result: Dict[str, Any]) -> Dict[str, Any]:
+    """Adapt a LegalEngine result dict into the rag_result shape the
+    timeline/confidence layer consumes (the ghost adapter's input
+    contract, reference tests/test_anchors.py:163-168)."""
+    intent = result.get("intent", {})
+    offence = next(
+        (
+            e.lower().replace(" ", "_")
+            for e in intent.get("key_entities", [])
+            if _normalize_case_type(e) != "general"
+        ),
+        None,
+    )
+    blocks = []
+    for source in result.get("response", {}).get("sources", []):
+        blocks.append({
+            "text": source.get("content", ""),
+            "metadata": {
+                "stage": infer_stage({
+                    "metadata": {},
+                    "canonical_header": source.get("citation", ""),
+                }),
+                "title": source.get("citation", "").splitlines()[-1]
+                if source.get("citation") else None,
+            },
+        })
+    return {
+        "case_type": offence,
+        "detected_stages": [
+            b["metadata"]["stage"] for b in blocks if b["metadata"]["stage"]
+        ],
+        "citations": [
+            s.get("citation") for s in
+            result.get("response", {}).get("sources", [])
+        ],
+        "answer": result.get("response", {}).get("answer", ""),
+        "retrieval": {"sop_blocks": blocks, "general_sop_blocks": []},
+    }
+
+
 def _iter_retrieval_blocks(rag_result: Dict[str, Any]):
     retrieval = rag_result.get("retrieval") or {}
     for key in ("sop_blocks", "general_sop_blocks"):

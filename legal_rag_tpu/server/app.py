@@ -104,6 +104,7 @@ def _response_payload(result: Dict[str, Any]) -> Dict[str, Any]:
         ],
         "metadata": result.get("intent", {}),
         "context_used": result.get("context_used", []),
+        "adapted": result.get("adapted"),
     }
 
 

@@ -251,7 +251,9 @@ def test_responder_llm_failure_degrades_to_extractive():
 
 def test_full_engine_query_offline(legal_engine):
     out = legal_engine.query("I was robbed at gunpoint, what should I do?")
-    assert set(out) == {"query", "intent", "response", "context_used"}
+    assert set(out) == {
+        "query", "intent", "response", "context_used", "adapted",
+    }
     resp = out["response"]
     assert len(resp["answer"]) >= 10
     assert len(resp["sources"]) >= 1
