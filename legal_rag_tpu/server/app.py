@@ -63,9 +63,17 @@ class EngineHost:
             # pipeline while /health still reports "loading" — jit
             # compilation (minutes on remote-compile TPU setups) must
             # not land on the first user request.
-            logger.info("warmup query starting (jit compile)")
+            logger.info("warmup queries starting (jit compile)")
             t0 = time.time()
+            # two warmups: a short informational query and a victim
+            # query with concept expansion + stopword-heavy postings —
+            # together they compile every (batch, budget) bucket the
+            # serving path uses
             engine.query("What is the procedure to file an FIR?")
+            engine.query(
+                "I was robbed at gunpoint just now, what is the "
+                "procedure and what are the rights of the victim?"
+            )
             logger.info("warmup complete in %.1fs", time.time() - t0)
             self.engine = engine
             logger.info("background engine load complete")
