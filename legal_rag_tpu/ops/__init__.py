@@ -5,6 +5,7 @@ from legal_rag_tpu.ops.dense import (
     dense_topk,
     dense_topk_xla,
     dense_topk_pallas,
+    dense_topk_twophase,
 )
 from legal_rag_tpu.ops.sparse import (
     BM25Index,
@@ -22,6 +23,7 @@ __all__ = [
     "dense_topk",
     "dense_topk_xla",
     "dense_topk_pallas",
+    "dense_topk_twophase",
     "BM25Index",
     "build_bm25",
     "bm25_score_batch",

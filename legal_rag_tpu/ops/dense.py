@@ -27,6 +27,7 @@ from __future__ import annotations
 import functools
 from typing import Tuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -80,9 +81,13 @@ def dense_topk_xla(
 # ---------------------------------------------------------------------------
 
 
-# plain Python int — a jnp scalar here would be captured as a constant
+# plain Python scalars — jnp scalars here would be captured as constants
 # by Pallas kernels, which pallas_call rejects
 _INT32_MAX = 2**31 - 1
+# finite stand-in for -inf inside the fused kernel: the segmented
+# extraction multiplies masked scores by a 0/1 one-hot on the MXU, and
+# 0 * -inf would poison the result with NaN
+_NEG_F32 = float(np.finfo(np.float32).min)
 
 
 def _take_max_by_id(s, ids):
@@ -150,7 +155,7 @@ def _fused_topk_kernel(
     )
     base = j * block_n
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + base
-    s = jnp.where(col < n_real, s, -jnp.inf)  # mask padding columns
+    s = jnp.where(col < n_real, s, _NEG_F32)  # mask padding columns
 
     blk_s, blk_i = _select_topk_block(s, base, k)
     new_s, new_i = _merge_topk(s_sc[:], i_sc[:], blk_s, blk_i, k)
@@ -240,6 +245,137 @@ def dense_topk_pallas(
         interpret=interpret,
     )(queries, docs_t)
     return out_s[:q], out_i[:q]
+
+
+# ---------------------------------------------------------------------------
+# Two-phase large-N backend
+# ---------------------------------------------------------------------------
+
+
+def _segmax_kernel(q_ref, d_ref, m_ref, id_ref, *, block_n, n_real, precision):
+    """Phase 1: per (query-block, doc-block) grid step, reduce the
+    [BQ, BN] score tile to 128 strided *segment* maxima + the doc id of
+    each segment's max. The [Q, N] score matrix never reaches HBM —
+    only [Q, N/rows] segment summaries do."""
+    j = pl.program_id(1)
+    s = jnp.dot(
+        q_ref[:], d_ref[:],
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    base = j * block_n
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + base
+    s = jnp.where(col < n_real, s, _NEG_F32)
+
+    bq, bn = s.shape
+    rows = bn // 128
+    s3 = s.reshape(bq, rows, 128)                 # segment = lane (strided)
+    seg_max = jnp.max(s3, axis=1)                 # [BQ, 128]
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, s3.shape, 1)
+    min_row = jnp.min(
+        jnp.where(s3 == seg_max[:, None, :], row_iota, _INT32_MAX), axis=1
+    )
+    lane = jax.lax.broadcasted_iota(jnp.int32, seg_max.shape, 1)
+    m_ref[:] = seg_max
+    id_ref[:] = base + min_row * 128 + lane
+
+
+# Extra segments taken beyond k to absorb exact-score ties at the
+# selection boundary (lax.top_k breaks segment ties by position, not by
+# doc id; the final rescore then orders exactly). Correct as long as no
+# more than this many segments tie EXACTLY at the k-th boundary score —
+# i.e. > _TIE_OVERSAMPLE duplicate documents with identical scores.
+_TIE_OVERSAMPLE = 64
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "block_n", "block_q", "interpret", "precision"),
+)
+def dense_topk_twophase(
+    queries: jax.Array,
+    docs_t: jax.Array,
+    k: int,
+    *,
+    block_n: int = 1024,   # segment size = block_n/128 docs; gather
+                           # volume scales with it, so keep blocks small
+    block_q: int = 8,
+    interpret: bool = False,
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
+) -> Tuple[jax.Array, jax.Array]:
+    """Large-N exact top-k: Pallas segment-max sweep + XLA refine.
+
+    Phase 1 (Pallas, bandwidth-bound): one pass over the doc matrix
+    emitting per-128-column-segment (max, argmax-id) — an N/rows-fold
+    reduction with no [Q, N] HBM materialization and O(N) VPU work
+    (the fused kernel's running-top-k selection is O(k*N), which
+    dominates beyond ~100k docs).
+
+    Phase 2 (XLA, tiny): top-(k + oversample) segments per query, a
+    [Q, K', D] gather of exactly those segments' document columns, an
+    exact rescore matmul, and a two-key sort for (score desc, id asc)
+    final ordering — identical semantics to the other backends.
+    """
+    q, d = queries.shape
+    d2, n = docs_t.shape
+    assert d == d2, f"dim mismatch {d} vs {d2}"
+    qp = -(-q // block_q) * block_q
+    np_ = -(-n // block_n) * block_n
+    queries_p = _pad_to(queries, qp, 0)
+    docs_p = _pad_to(docs_t, np_, 1)
+    nb = np_ // block_n
+    rows = block_n // 128
+
+    kernel = functools.partial(
+        _segmax_kernel, block_n=block_n, n_real=n, precision=precision
+    )
+    seg_m, seg_i = pl.pallas_call(
+        kernel,
+        grid=(qp // block_q, nb),
+        in_specs=[
+            pl.BlockSpec((block_q, d), lambda i, j: (i, 0)),
+            pl.BlockSpec((d, block_n), lambda i, j: (0, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_q, 128), lambda i, j: (i, j)),
+            pl.BlockSpec((block_q, 128), lambda i, j: (i, j)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((qp, nb * 128), jnp.float32),
+            jax.ShapeDtypeStruct((qp, nb * 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(queries_p, docs_p)
+
+    # phase 2: segment selection (+ tie oversample), gather, rescore
+    kk = min(k + _TIE_OVERSAMPLE, nb * 128)
+    _, seg_pos = jax.lax.top_k(seg_m, kk)                       # [Qp, kk]
+    block_idx = seg_pos // 128
+    lane_idx = seg_pos % 128
+    # doc ids of every element of each chosen segment: [Qp, kk, rows]
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (qp, kk, rows), 2)
+    cand_ids = block_idx[:, :, None] * block_n + r_iota * 128 + lane_idx[:, :, None]
+    cand_flat = cand_ids.reshape(qp, kk * rows)
+    cand_safe = jnp.clip(cand_flat, 0, np_ - 1)
+
+    # gather candidate doc columns and rescore exactly
+    gathered = jnp.take(docs_p, cand_safe, axis=1)              # [D, Qp, KR]
+    scores = jnp.einsum(
+        "qd,dqc->qc", queries_p.astype(jnp.float32),
+        gathered.astype(jnp.float32),
+        precision=precision,
+    )
+    scores = jnp.where(cand_flat < n, scores, -jnp.inf)
+
+    # exact (score desc, id asc) ordering via two-key sort
+    neg_s, ids_sorted = jax.lax.sort(
+        (-scores, cand_flat), num_keys=2, dimension=1
+    )
+    return -neg_s[:q, :k], ids_sorted[:q, :k].astype(jnp.int32)
+
+
+# N above which the two-phase backend beats the fused running-top-k
+# kernel (its selection is O(k*N); measured crossover on TPU v5e).
+LARGE_N_THRESHOLD = 65536
 
 
 def dense_topk(

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from legal_rag_tpu.ops.dense import dense_topk_pallas
+from legal_rag_tpu.ops.dense import dense_topk_pallas, LARGE_N_THRESHOLD
 from legal_rag_tpu.ops.fusion import rrf_fusion
 
 AXIS = "shard"
@@ -50,6 +50,12 @@ def _local_dense_topc(q, docs_t_local, base, n_docs, c, precision, use_pallas):
     if docs_t_local.dtype == jnp.bfloat16:
         q = q.astype(jnp.bfloat16)
         precision = jax.lax.Precision.DEFAULT
+    # The fused running-top-k kernel does O(c*N) VPU selection work —
+    # a clear win at small N (no [Q,N] HBM traffic, ~2x over XLA) but
+    # it loses to XLA's matmul+top_k beyond ~64k docs/shard (measured
+    # crossover on v5e); dispatch accordingly.
+    if use_pallas and docs_t_local.shape[1] > LARGE_N_THRESHOLD:
+        use_pallas = False
     if use_pallas:
         s, i = dense_topk_pallas(q, docs_t_local, c, precision=precision)
         # re-mask global padding (pallas masked only local range)
@@ -148,20 +154,24 @@ def sharded_hybrid_search(
         d_bm = bm_local[qidx, cand_local]
         d_bm = jnp.where((d_i >= n_docs) | (d_i < 0), 0.0, d_bm)
 
-        # sparse local candidates (for RRF); mask padding docs
-        col = jax.lax.broadcasted_iota(jnp.int32, bm_local.shape, 1) + base
-        bm_masked = jnp.where(col < n_docs, bm_local, -jnp.inf)
-        s_s, s_i = _topk_padded(bm_masked, c)
-        s_i = jnp.where(s_i >= 0, s_i + base, s_i)
-
         # ---- merge candidates across shards (one gather each)
         gather = lambda x: jax.lax.all_gather(x, AXIS)       # [S, Q, C]
         to_qc = lambda x: x.transpose(1, 0, 2).reshape(q, n_shards * c)
         all_ds = to_qc(gather(d_s))
         all_di = to_qc(gather(d_i))
         all_dbm = to_qc(gather(d_bm))
-        all_ss = to_qc(gather(s_s))
-        all_si = to_qc(gather(s_i))
+
+        if mode == "rrf":
+            # sparse local candidates — a full [Q, n_local] top-C that
+            # only RRF needs (weighted mode fuses dense candidates only)
+            col = (
+                jax.lax.broadcasted_iota(jnp.int32, bm_local.shape, 1) + base
+            )
+            bm_masked = jnp.where(col < n_docs, bm_local, -jnp.inf)
+            s_s, s_i = _topk_padded(bm_masked, c)
+            s_i = jnp.where(s_i >= 0, s_i + base, s_i)
+            all_ss = to_qc(gather(s_s))
+            all_si = to_qc(gather(s_i))
 
         # ---- replicated epilogue
         top_ds, pos = jax.lax.top_k(all_ds, c)               # global dense top-C

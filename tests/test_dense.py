@@ -140,3 +140,26 @@ def test_k_larger_than_block_tail():
         block_n=128, interpret=True,
     )
     np.testing.assert_array_equal(np.asarray(i), gi)
+
+
+def test_twophase_matches_golden(data):
+    from legal_rag_tpu.ops.dense import dense_topk_twophase
+
+    queries, docs = data
+    s, i = dense_topk_twophase(
+        jnp.asarray(queries), jnp.asarray(docs.T), 10, interpret=True,
+    )
+    assert_topk_equiv(queries, docs, 10, s, i)
+
+
+def test_twophase_duplicate_tie_break():
+    from legal_rag_tpu.ops.dense import dense_topk_twophase
+
+    rng = np.random.default_rng(13)
+    docs = rng.standard_normal((2000, 32)).astype(np.float32)
+    docs[50] = docs[700] = docs[1500]          # 3 identical docs
+    queries = docs[50:51] * 1.5                # exact tie at the top
+    _, i = dense_topk_twophase(
+        jnp.asarray(queries), jnp.asarray(docs.T), 5, interpret=True,
+    )
+    assert list(np.asarray(i)[0][:3]) == [50, 700, 1500]
