@@ -18,10 +18,14 @@ COPY bench.py .
 # build the native tokenizer; non-fatal (pure-Python fallback)
 RUN make -C legal_rag_tpu/native || true
 
-# bake the index when a corpus is provided at build time
-ARG DOCS_DIR=""
-COPY ${DOCS_DIR:-/dev/null} /corpus
-RUN if [ -d /corpus ]; then \
+# Optional baked index: place your corpus (markdown tree or a
+# chunks.json) in ./corpus/ inside the build context before building.
+# The glob always matches (README.md anchors it), so a context without
+# a corpus still builds; serving can also build at first start from a
+# mounted corpus via LEGAL_RAG_CORPUS.
+COPY README.md corpus* /corpus/
+RUN if ls /corpus/*.md /corpus/*.json >/dev/null 2>&1 \
+        && [ "$(ls /corpus | grep -v '^README.md$' | head -1)" ]; then \
         python -m legal_rag_tpu build --source /corpus --store /app/data/store; \
     fi
 
@@ -30,4 +34,9 @@ EXPOSE 8000
 HEALTHCHECK --interval=30s --timeout=5s \
     CMD curl -sf http://localhost:${PORT}/health || exit 1
 
-CMD ["sh", "-c", "python -m legal_rag_tpu serve --store ${LEGAL_RAG_STORE} --port ${PORT}"]
+# build-at-boot fallback: LEGAL_RAG_CORPUS=/mounted/corpus
+CMD ["sh", "-c", "\
+    if [ ! -f ${LEGAL_RAG_STORE}/manifest.json ] && [ -n \"${LEGAL_RAG_CORPUS}\" ]; then \
+        python -m legal_rag_tpu build --source ${LEGAL_RAG_CORPUS} --store ${LEGAL_RAG_STORE}; \
+    fi; \
+    python -m legal_rag_tpu serve --store ${LEGAL_RAG_STORE} --port ${PORT}"]

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence, Union
 
+from jax.tree_util import tree_leaves as jax_leaves
+
 from legal_rag_tpu.config import RetrievalConfig, DEFAULT_CONFIG
 from legal_rag_tpu.ingest import parse_corpus
 from legal_rag_tpu.ingest.parser import LegalChunk
@@ -61,9 +63,9 @@ def build_index(
 
     texts = [c["text"] for c in chunks]
 
-    # Resumable builds: the corpus+config identity hashes into the
-    # manifest; a store_dir already holding a matching build is reused
-    # instead of re-encoding (SURVEY.md §5.4 checkpoint/resume).
+    # Resumable builds: the corpus+config+ENCODER identity hashes into
+    # the manifest; a store_dir already holding a matching build is
+    # reused instead of re-encoding (SURVEY.md §5.4 checkpoint/resume).
     import hashlib
 
     h = hashlib.sha256()
@@ -71,6 +73,18 @@ def build_index(
         h.update(t.encode("utf-8"))
         h.update(b"\x00")
     h.update(repr((config.encoder, config.bm25)).encode())
+    if encoder is not None:
+        # a caller-supplied encoder (fine-tuned / converted weights)
+        # must invalidate stores built by a different one — fingerprint
+        # its config, seed, and actual parameter bytes
+        h.update(repr(encoder.cfg).encode())
+        h.update(str(getattr(encoder, "seed", 0)).encode())
+        import numpy as _np
+
+        for leaf in jax_leaves(encoder.params):
+            arr = _np.asarray(leaf)
+            h.update(arr.shape.__repr__().encode())
+            h.update(arr.tobytes()[:4096])
     corpus_hash = h.hexdigest()
     if store_dir is not None:
         manifest_path = Path(store_dir) / "manifest.json"

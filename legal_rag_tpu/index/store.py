@@ -139,8 +139,9 @@ class VectorStore:
                         f"(expected {digest[:12]}, got {actual[:12]})"
                     )
 
+        # memory-mapped: device_put / ShardedIndex reads pages straight
+        # from the file; no host-RAM copy of a potentially huge matrix
         embeddings = np.load(store_dir / "embeddings.npy", mmap_mode="r")
-        embeddings = np.ascontiguousarray(embeddings, dtype=np.float32)
 
         data = np.load(store_dir / "bm25.npz")
         with open(store_dir / "vocab.txt", "r", encoding="utf-8") as f:

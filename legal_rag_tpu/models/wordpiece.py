@@ -160,26 +160,34 @@ class WordPieceTokenizer:
     def encode_batch(
         self, texts: Sequence[str], max_len: int = 256
     ):
-        """Padded id / mask matrices for a batch (numpy int32).
-
-        Sequence length is the batch max bucketed to the next power of
-        two (min 32), capped at ``max_len`` — a handful of buckets means
-        a handful of jit compilations instead of one per distinct
-        length (compilation is expensive on remote-compile TPU setups).
-        """
-        import numpy as np
-
+        """Padded id / mask matrices for a batch (numpy int32) — see
+        :func:`pad_and_bucket` for the shape contract."""
         encoded = [self.encode(t, max_len=max_len) for t in texts]
-        longest = max((len(e) for e in encoded), default=1)
-        longest = max(32, 1 << (longest - 1).bit_length())
-        longest = min(max_len, longest)
-        ids = np.full((len(texts), longest), self.pad_id, dtype=np.int32)
-        mask = np.zeros((len(texts), longest), dtype=np.int32)
-        for i, e in enumerate(encoded):
-            e = e[:longest]
-            ids[i, : len(e)] = e
-            mask[i, : len(e)] = 1
-        return ids, mask
+        return pad_and_bucket(encoded, max_len, self.pad_id)
+
+
+def pad_and_bucket(encoded, max_len: int, pad_id: int):
+    """Pad encoded id lists into [B, L] id/mask matrices.
+
+    L is the batch max bucketed to the next power of two (min 32),
+    capped at ``max_len`` — a handful of buckets means a handful of jit
+    compilations instead of one per distinct length (compilation is
+    expensive on remote-compile TPU setups). Single source of truth for
+    both the Python and native tokenizers: shapes must never diverge
+    between them or their jit caches split.
+    """
+    import numpy as np
+
+    longest = max((len(e) for e in encoded), default=1)
+    longest = max(32, 1 << (longest - 1).bit_length())
+    longest = min(max_len, longest)
+    ids = np.full((len(encoded), longest), pad_id, dtype=np.int32)
+    mask = np.zeros((len(encoded), longest), dtype=np.int32)
+    for i, e in enumerate(encoded):
+        e = e[:longest]
+        ids[i, : len(e)] = e
+        mask[i, : len(e)] = 1
+    return ids, mask
 
 
 def build_wordpiece_vocab(

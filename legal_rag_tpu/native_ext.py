@@ -102,18 +102,12 @@ class NativeWordPiece:
         return self._buf[:n].tolist()
 
     def encode_batch(self, texts: Sequence[str], max_len: int = 256):
-        """Same bucketing contract as WordPieceTokenizer.encode_batch."""
+        """Same bucketing contract as WordPieceTokenizer.encode_batch
+        (shared helper — shapes must never diverge between paths)."""
+        from legal_rag_tpu.models.wordpiece import pad_and_bucket
+
         encoded = [self.encode(t, max_len=max_len) for t in texts]
-        longest = max((len(e) for e in encoded), default=1)
-        longest = max(32, 1 << (longest - 1).bit_length())
-        longest = min(max_len, longest)
-        ids = np.full((len(texts), longest), self.pad_id, dtype=np.int32)
-        mask = np.zeros((len(texts), longest), dtype=np.int32)
-        for i, e in enumerate(encoded):
-            e = e[:longest]
-            ids[i, : len(e)] = e
-            mask[i, : len(e)] = 1
-        return ids, mask
+        return pad_and_bucket(encoded, max_len, self.pad_id)
 
 
 def native_available() -> bool:

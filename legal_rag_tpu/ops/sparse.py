@@ -37,7 +37,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 import jax
@@ -114,7 +114,7 @@ class BM25Index:
         return out_ids, out_w
 
     def query_term_meta(
-        self, queries: Sequence[str], max_terms: int = 32
+        self, queries: Sequence[str], max_terms: Optional[int] = None
     ):
         """Host-side metadata for the DEVICE postings gather: per query
         term, its CSR row start, length, and multiplicity —
@@ -122,7 +122,13 @@ class BM25Index:
         is O(query terms) scalar work; the heavy postings movement then
         happens on-device (:func:`bm25_gather_postings_device`), which
         is the layout that scales when postings live in HBM.
+
+        ``max_terms`` defaults to BM25Config.max_query_terms.
         """
+        if max_terms is None:
+            from legal_rag_tpu.config import BM25Config
+
+            max_terms = BM25Config.max_query_terms
         q = len(queries)
         starts = np.zeros((q, max_terms), dtype=np.int32)
         lens = np.zeros((q, max_terms), dtype=np.int32)

@@ -40,7 +40,10 @@ from legal_rag_tpu.ops.fusion import rrf_fusion
 AXIS = "shard"
 
 
-def _local_dense_topc(q, docs_t_local, base, n_docs, c, precision, use_pallas):
+def _local_dense_topc(
+    q, docs_t_local, base, n_docs, c, precision, use_pallas,
+    block_n=1024, block_q=8,
+):
     """Local [Q, C] dense candidates with global ids; padding masked.
 
     When the document shard is stored bfloat16 (2x HBM bandwidth, the
@@ -57,7 +60,10 @@ def _local_dense_topc(q, docs_t_local, base, n_docs, c, precision, use_pallas):
     if use_pallas and docs_t_local.shape[1] > LARGE_N_THRESHOLD:
         use_pallas = False
     if use_pallas:
-        s, i = dense_topk_pallas(q, docs_t_local, c, precision=precision)
+        s, i = dense_topk_pallas(
+            q, docs_t_local, c, precision=precision,
+            block_n=block_n, block_q=block_q,
+        )
         # re-mask global padding (pallas masked only local range)
         gids = i + base
         s = jnp.where(gids < n_docs, s, -jnp.inf)
@@ -93,7 +99,8 @@ def _topk_padded(scores, c):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "mesh", "k", "c", "n_docs", "mode", "use_pallas", "precision", "rrf_k",
+        "mesh", "k", "c", "n_docs", "mode", "use_pallas", "precision",
+        "rrf_k", "block_n", "block_q",
     ),
 )
 def sharded_hybrid_search(
@@ -111,6 +118,8 @@ def sharded_hybrid_search(
     use_pallas: bool = False,
     precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
     rrf_k: int = 60,
+    block_n: int = 1024,
+    block_q: int = 8,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Returns ``(fused [Q,k], ids [Q,k], sem [Q,k], keyword [Q,k])``.
 
@@ -129,7 +138,8 @@ def sharded_hybrid_search(
 
         # ---- dense local candidates
         d_s, d_i = _local_dense_topc(
-            qe, docs_local, base, n_docs, c, precision, use_pallas
+            qe, docs_local, base, n_docs, c, precision, use_pallas,
+            block_n, block_q,
         )
 
         # ---- BM25 local scores ([Q, n_local] scatter of in-range postings)

@@ -109,9 +109,13 @@ class RetrievalEngine:
         self.index = ShardedIndex.from_embeddings(
             store.embeddings, self.mesh, dtype=config.dense.dtype
         )
-        # default to the fused Pallas kernel only on real TPU backends
+        # default: the fused Pallas kernel, only on real TPU backends
+        # and only if the config hasn't disabled it
         if use_pallas is None:
-            use_pallas = jax.devices()[0].platform == "tpu"
+            use_pallas = (
+                config.dense.use_pallas
+                and jax.devices()[0].platform == "tpu"
+            )
         self.use_pallas = use_pallas
 
     # -- native batched API -------------------------------------------------
@@ -157,6 +161,8 @@ class RetrievalEngine:
                 mode=mode,
                 use_pallas=self.use_pallas,
                 rrf_k=cfg.fusion.rrf_k,
+                block_n=cfg.dense.block_n,
+                block_q=cfg.dense.block_q,
             )
             scores, ids = np.asarray(scores), np.asarray(ids)
             sem, key = np.asarray(sem), np.asarray(key)

@@ -29,13 +29,18 @@ class LLMClient(Protocol):
 
 
 def strip_json_fences(text: str) -> str:
-    """Extract a JSON payload from possibly-fenced LLM output
-    (the gemma path of the reference, classifier.py:84-90)."""
+    """Extract a JSON payload from possibly-fenced LLM output.
+
+    (The reference's version, classifier.py:84-90, takes
+    ``split("```")[-1]`` — the segment AFTER the closing fence, i.e.
+    the empty string for well-formed fenced output; a regex over the
+    fenced body is what it meant.)"""
+    import re
+
     text = text.strip()
-    if "```json" in text:
-        text = text.split("```json")[-1].split("```")[0].strip()
-    elif "```" in text:
-        text = text.split("```")[-1].split("```")[0].strip()
+    fenced = re.search(r"```(?:json)?\s*(.*?)```", text, re.S)
+    if fenced:
+        return fenced.group(1).strip()
     return text
 
 

@@ -54,16 +54,20 @@ class LegalOrchestrator:
 
     def orchestrate(self, query: str, k: int = 5) -> Dict[str, Any]:
         intent = self.classifier.classify(query)
+        fusion_cfg = self.engine.config.fusion
 
         queries = [query]
         if intent.user_context == "victim_distress":
             queries.extend(expansion_queries(intent))
+        queries = queries[: self.engine.config.max_expanded_queries]
 
-        # per-query hybrid weight: 0.6 procedural else 0.5
-        # (reference orchestrator.py:56)
+        # per-query hybrid weight: procedural queries lean harder on
+        # keywords (reference orchestrator.py:56 semantics, weights
+        # from config instead of inline constants)
         weights = [
-            0.6 if intent.category == "procedure" or "procedure" in q.lower()
-            else 0.5
+            fusion_cfg.procedural_weight
+            if intent.category == "procedure" or "procedure" in q.lower()
+            else fusion_cfg.hybrid_weight
             for q in queries
         ]
 

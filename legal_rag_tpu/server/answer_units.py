@@ -245,6 +245,8 @@ def parse_answer_units_response(response: str) -> List[AnswerUnit]:
         data = json.loads(_extract_json_from_response(response))
     except (json.JSONDecodeError, TypeError):
         return []
+    if not isinstance(data, dict):
+        return []  # e.g. a bare JSON array — still the legacy path
     units: List[AnswerUnit] = []
     for i, raw in enumerate(data.get("answer_units") or []):
         if not isinstance(raw, dict) or not raw.get("text"):

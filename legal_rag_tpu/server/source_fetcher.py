@@ -99,17 +99,28 @@ def set_default_catalog(chunks: Sequence[Dict]) -> None:
 
 
 def _get_catalog() -> Optional[SourceCatalog]:
+    """Lazy default: the serving store's chunks (LEGAL_RAG_STORE), or a
+    corpus directory (LEGAL_RAG_DOCS) — never a hardcoded path. Callers
+    that own a store should call :func:`set_default_catalog` instead."""
     global _default_catalog
     with _catalog_lock:
         if _default_catalog is None:
+            import json
+            import os
             from pathlib import Path
 
-            docs = Path("/root/reference/documents")
-            if docs.exists():
+            store_dir = os.environ.get("LEGAL_RAG_STORE")
+            docs_dir = os.environ.get("LEGAL_RAG_DOCS")
+            if store_dir and (Path(store_dir) / "chunks.json").exists():
+                with open(
+                    Path(store_dir) / "chunks.json", encoding="utf-8"
+                ) as f:
+                    _default_catalog = SourceCatalog(json.load(f))
+            elif docs_dir and Path(docs_dir).exists():
                 from legal_rag_tpu.ingest import parse_corpus
 
                 chunks = []
-                for c in parse_corpus(docs):
+                for c in parse_corpus(docs_dir):
                     d = c.to_reference_dict()
                     d["section_id"] = c.section_id
                     chunks.append(d)

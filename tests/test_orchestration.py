@@ -269,3 +269,18 @@ def test_full_engine_informational_no_safety(legal_engine):
     out = legal_engine.query("What is the punishment for theft?")
     assert out["response"]["safety_alert"] is None
     assert out["response"]["immediate_action_plan"] == []
+
+
+def test_strip_json_fences_variants():
+    from legal_rag_tpu.retrieval.llm import strip_json_fences
+
+    assert strip_json_fences('```\n{"a": 1}\n```') == '{"a": 1}'
+    assert strip_json_fences('```json\n{"a": 1}\n```') == '{"a": 1}'
+    assert strip_json_fences('{"a": 1}') == '{"a": 1}'
+    assert strip_json_fences('prose\n```json\n{"a": 1}\n```\nmore') == '{"a": 1}'
+
+
+def test_parse_answer_units_top_level_array_is_garbage():
+    from legal_rag_tpu.server.answer_units import parse_answer_units_response
+
+    assert parse_answer_units_response('[{"text": "x", "kind": "derived"}]') == []
