@@ -1,0 +1,73 @@
+"""Contrastive fine-tuning: the loss must decrease on the virtual mesh
+and the tuned encoder must invalidate build caches."""
+
+import numpy as np
+import pytest
+
+from legal_rag_tpu.config import RetrievalConfig, EncoderConfig
+from legal_rag_tpu.models.encoder import SentenceEncoder
+from legal_rag_tpu.models.finetune import finetune_encoder, make_pairs
+from legal_rag_tpu.parallel.mesh import make_mesh
+
+TINY = EncoderConfig(
+    vocab_size=2000, hidden=32, layers=2, heads=4,
+    intermediate=64, max_len=32,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(corpus_texts):
+    return corpus_texts
+
+
+def test_make_pairs_shapes(corpus):
+    rng = np.random.default_rng(0)
+    stream = make_pairs(corpus, rng)
+    for _ in range(10):
+        q, d = next(stream)
+        assert q and d
+        assert all(w in d.split() for w in q.split()[:1])
+
+
+def test_make_pairs_rejects_empty_corpus():
+    with pytest.raises(ValueError):
+        next(make_pairs(["", "   "], np.random.default_rng(0)))
+
+
+def test_finetune_reduces_loss(corpus):
+    encoder = SentenceEncoder(cfg=TINY, vocab_corpus=corpus)
+    mesh = make_mesh(4)
+    tuned, losses = finetune_encoder(
+        encoder, corpus, mesh, steps=30, batch_size=16,
+        learning_rate=1e-3, seed=0,
+    )
+    assert len(losses) == 30
+    assert all(np.isfinite(losses))
+    # substantial improvement over the first steps
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.8, losses[:5] + losses[-5:]
+    # params actually changed; tokenizer shared
+    assert tuned.tokenizer is encoder.tokenizer
+    w0 = np.asarray(encoder.params["embeddings"]["word"])
+    w1 = np.asarray(tuned.params["embeddings"]["word"])
+    assert not np.allclose(w0, w1)
+
+
+def test_tuned_encoder_invalidates_build_cache(corpus, tmp_path):
+    import dataclasses
+
+    from legal_rag_tpu.index.builder import build_index
+
+    cfg = RetrievalConfig(encoder=TINY)
+    chunks = [
+        {"text": t, "metadata": {}, "canonical_header": f"H{i}"}
+        for i, t in enumerate(corpus[:20])
+    ]
+    enc = SentenceEncoder(cfg=TINY, vocab_corpus=[c["text"] for c in chunks])
+    s1 = build_index(chunks, encoder=enc, config=cfg, store_dir=tmp_path)
+    mesh = make_mesh(2)
+    tuned, _ = finetune_encoder(
+        enc, corpus, mesh, steps=3, batch_size=8, learning_rate=1e-3
+    )
+    s2 = build_index(chunks, encoder=tuned, config=cfg, store_dir=tmp_path)
+    assert s2.corpus_hash != s1.corpus_hash  # cache invalidated
+    assert not np.allclose(s1.embeddings, s2.embeddings)
