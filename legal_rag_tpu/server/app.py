@@ -148,7 +148,7 @@ class HttpApp:
             )
         return 200, payload
 
-    async def _query(self, body: bytes) -> Tuple[int, Dict[str, Any]]:
+    async def _query(self, body: bytes):
         if self.host.loading:
             return 503, {"detail": "Legal Engine is still loading. Please wait."}
         if not self.host.engine:
@@ -163,6 +163,13 @@ class HttpApp:
         if not query_text or not isinstance(query_text, str):
             return 422, {"detail": "field 'query' (string) is required"}
 
+        if request.get("stream"):
+            # staged SSE: intent + retrieved context as soon as the
+            # device search returns, the generated answer when ready
+            # (the reference accepts this flag but never implements
+            # it, reference app.py:28)
+            return "stream", self._query_stream(query_text)
+
         start = time.time()
         try:
             result = await asyncio.get_event_loop().run_in_executor(
@@ -173,6 +180,36 @@ class HttpApp:
             return 500, {"detail": str(e)}
         logger.info("query processed in %.2fs", time.time() - start)
         return 200, _response_payload(result)
+
+    async def _query_stream(self, query_text: str):
+        """SSE event generator: orchestration first, answer second."""
+        loop = asyncio.get_event_loop()
+        engine = self.host.engine
+        try:
+            orchestration = await loop.run_in_executor(
+                None, engine.orchestrator.orchestrate, query_text
+            )
+            yield "intent", orchestration["intent"]
+            yield "context", [
+                {
+                    "citation": c["chunk"]["canonical_header"],
+                    "section_id": c["chunk"].get("section_id"),
+                    "score": c.get("score"),
+                }
+                for c in orchestration["results"]
+            ]
+            response = await loop.run_in_executor(
+                None,
+                lambda: engine.responder.generate_response(
+                    query=query_text,
+                    context=orchestration["results"],
+                    intent=orchestration["intent"],
+                ),
+            )
+            yield "response", response.to_dict()
+        except Exception as e:  # noqa: BLE001 — surfaced as an event
+            logger.exception("streaming query failed")
+            yield "error", {"detail": str(e)}
 
     def _source(self, query: Dict[str, str]) -> Tuple[int, Dict[str, Any]]:
         from legal_rag_tpu.server.schemas import SourceType
@@ -220,6 +257,33 @@ async def _serve_connection(app: HttpApp, reader, writer) -> None:
         status, payload = await app.handle(
             method.upper(), parsed.path, query, body
         )
+
+        if status == "stream":
+            # Server-Sent Events over chunked transfer
+            lines = [
+                "HTTP/1.1 200 OK",
+                "Content-Type: text/event-stream",
+                "Cache-Control: no-cache",
+                "Transfer-Encoding: chunked",
+                "Connection: close",
+            ]
+            lines.extend(f"{k}: {v}" for k, v in _CORS_HEADERS)
+            writer.write(("\r\n".join(lines) + "\r\n\r\n").encode())
+            await writer.drain()
+
+            def chunk(data: bytes) -> bytes:
+                return f"{len(data):X}\r\n".encode() + data + b"\r\n"
+
+            async for event, obj in payload:
+                frame = (
+                    f"event: {event}\ndata: {json.dumps(obj)}\n\n".encode()
+                )
+                writer.write(chunk(frame))
+                await writer.drain()
+            writer.write(b"0\r\n\r\n")
+            await writer.drain()
+            return
+
         data = json.dumps(payload).encode() if status != 204 else b""
         lines = [
             f"HTTP/1.1 {status} {'OK' if status < 400 else 'ERR'}",

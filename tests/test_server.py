@@ -182,3 +182,38 @@ def test_503_while_loading():
     )
     assert status == 503
     assert "loading" in body["detail"].lower()
+
+
+def test_streaming_query(server_port):
+    """stream=true yields staged SSE events: intent, context, response
+    — the capability the reference's stream flag never delivered."""
+    import http.client
+
+    conn = http.client.HTTPConnection("127.0.0.1", server_port, timeout=60)
+    conn.request(
+        "POST", "/api/v1/query",
+        body=json.dumps({
+            "query": "I was robbed just now, what do I do?",
+            "stream": True,
+        }),
+        headers={"Content-Type": "application/json"},
+    )
+    resp = conn.getresponse()
+    assert resp.status == 200
+    assert resp.getheader("Content-Type") == "text/event-stream"
+    raw = resp.read().decode()
+    conn.close()
+
+    events = {}
+    for block in raw.strip().split("\n\n"):
+        lines = dict(
+            line.split(": ", 1) for line in block.splitlines() if ": " in line
+        )
+        if "event" in lines:
+            events[lines["event"]] = json.loads(lines["data"])
+    assert set(events) >= {"intent", "context", "response"}
+    assert events["intent"]["user_context"] == "victim_distress"
+    assert events["context"] and events["context"][0]["citation"]
+    assert events["response"]["safety_alert"]
+    # ordering: intent before response
+    assert raw.index("event: intent") < raw.index("event: response")
