@@ -77,6 +77,48 @@ def _cmd_serve(args) -> int:
     return 0
 
 
+def _cmd_finetune(args) -> int:
+    from legal_rag_tpu.index.store import VectorStore
+    from legal_rag_tpu.models.convert import save_params_npz
+    from legal_rag_tpu.models.finetune import finetune_encoder
+    from legal_rag_tpu.parallel.mesh import make_mesh
+    from legal_rag_tpu.retrieval.engine import RetrievalEngine
+
+    store = VectorStore.load(args.store)
+    engine = RetrievalEngine(store)
+    mesh = make_mesh()
+    tuned, losses = finetune_encoder(
+        engine.encoder,
+        [c["text"] for c in store.chunks],
+        mesh,
+        steps=args.steps,
+        batch_size=args.batch,
+        learning_rate=args.lr,
+        log_fn=print,
+    )
+    save_params_npz(tuned.params, args.out)
+    print(
+        f"fine-tuned {args.steps} steps "
+        f"(loss {losses[0]:.3f} -> {losses[-1]:.3f}); params -> {args.out}\n"
+        f"rebuild the index with these weights to serve them."
+    )
+    return 0
+
+
+def _cmd_convert(args) -> int:
+    """Convert an HF BertModel checkpoint directory to framework npz."""
+    from legal_rag_tpu.config import EncoderConfig
+    from legal_rag_tpu.models.convert import convert_hf_bert, save_params_npz
+
+    import torch  # local conversion only; never needed at serve time
+
+    sd = torch.load(args.checkpoint, map_location="cpu", weights_only=True)
+    params = convert_hf_bert(sd, EncoderConfig())
+    save_params_npz(params, args.out)
+    print(f"converted {args.checkpoint} -> {args.out}")
+    return 0
+
+
 def _cmd_eval(args) -> int:
     from legal_rag_tpu.quality import run_quality_eval
 
@@ -117,6 +159,24 @@ def main(argv=None) -> int:
     p.add_argument("--store", required=True)
     p.add_argument("--report", default="quality_report.json")
     p.set_defaults(fn=_cmd_eval)
+
+    p = sub.add_parser(
+        "finetune", help="contrastively adapt the encoder to the corpus"
+    )
+    p.add_argument("--store", required=True)
+    p.add_argument("--out", default="encoder_tuned.npz")
+    p.add_argument("--steps", type=int, default=200)
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--lr", type=float, default=2e-5)
+    p.set_defaults(fn=_cmd_finetune)
+
+    p = sub.add_parser(
+        "convert", help="convert an HF BertModel state_dict to npz params"
+    )
+    p.add_argument("--checkpoint", required=True,
+                   help="path to pytorch_model.bin / .pt state_dict")
+    p.add_argument("--out", default="encoder_params.npz")
+    p.set_defaults(fn=_cmd_convert)
 
     args = parser.parse_args(argv)
     return args.fn(args)
