@@ -120,6 +120,7 @@ def build_index(
             "seed": getattr(encoder, "seed", 0),
         },
         corpus_hash=corpus_hash,
+        encoder_params=encoder.params,
     )
     if store_dir is not None:
         store.save(store_dir)

@@ -56,6 +56,12 @@ class VectorStore:
                                           # the embeddings (manifest'd)
     corpus_hash: Optional[str] = None     # identity of the ingested
                                           # corpus (resumable builds)
+    encoder_params: Optional[Dict] = None  # the encoder WEIGHTS — query
+                                           # encoding must use exactly
+                                           # the model that embedded the
+                                           # docs (fine-tuned/converted
+                                           # weights are not derivable
+                                           # from seed+config)
 
     @property
     def n_docs(self) -> int:
@@ -95,10 +101,16 @@ class VectorStore:
                     f.write(inv_wp[i] + "\n")
         with open(store_dir / "chunks.json", "w", encoding="utf-8") as f:
             json.dump(self.chunks, f, ensure_ascii=False)
+        if self.encoder_params is not None:
+            from legal_rag_tpu.models.convert import save_params_npz
+
+            save_params_npz(self.encoder_params, store_dir / "encoder.npz")
 
         artifacts = ["embeddings.npy", "bm25.npz", "vocab.txt", "chunks.json"]
         if self.wp_vocab:
             artifacts.append("wp_vocab.txt")
+        if self.encoder_params is not None:
+            artifacts.append("encoder.npz")
         manifest = {
             "format_version": FORMAT_VERSION,
             "n_docs": int(self.n_docs),
@@ -165,6 +177,11 @@ class VectorStore:
         if wp_path.exists():
             with open(wp_path, "r", encoding="utf-8") as f:
                 wp_vocab = {line.rstrip("\n"): i for i, line in enumerate(f)}
+        encoder_params = None
+        if (store_dir / "encoder.npz").exists():
+            from legal_rag_tpu.models.convert import load_params_npz
+
+            encoder_params = load_params_npz(store_dir / "encoder.npz")
         with open(store_dir / "chunks.json", "r", encoding="utf-8") as f:
             chunks = json.load(f)
         return cls(
@@ -175,4 +192,5 @@ class VectorStore:
             manifest=manifest,
             encoder_info=manifest.get("encoder"),
             corpus_hash=manifest.get("corpus_hash"),
+            encoder_params=encoder_params,
         )

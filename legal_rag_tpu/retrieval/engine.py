@@ -87,16 +87,21 @@ class RetrievalEngine:
                 )
             else:
                 seed = 0
+            # stored weights win over seed-reconstruction: a fine-tuned
+            # or converted encoder is not derivable from (seed, config)
+            params = store.encoder_params
             if store.wp_vocab:
                 tokenizer = WordPieceTokenizer(store.wp_vocab)
                 encoder = SentenceEncoder(
-                    cfg=enc_cfg, tokenizer=tokenizer, seed=seed
+                    cfg=enc_cfg, tokenizer=tokenizer, seed=seed,
+                    params=params,
                 )
             else:
                 encoder = SentenceEncoder(
                     cfg=enc_cfg,
                     vocab_corpus=[c["text"] for c in store.chunks],
                     seed=seed,
+                    params=params,
                 )
         if encoder.cfg.hidden != store.dim:
             raise ValueError(

@@ -54,3 +54,32 @@ def test_rebuild_triggered_on_config_change(tmp_path):
     s2 = build_index(_chunks(["alpha beta"]), config=cfg2, store_dir=tmp_path)
     assert s2.corpus_hash != s1.corpus_hash
     assert s2.dim == 64
+
+
+def test_reloaded_store_encodes_queries_identically(tmp_path):
+    """The store must carry the encoder WEIGHTS: a reloaded engine has
+    to embed queries with exactly the model that embedded the docs
+    (fine-tuned/converted weights are not derivable from seed+config)."""
+    import numpy as np
+
+    from legal_rag_tpu.index.store import VectorStore
+    from legal_rag_tpu.models.encoder import SentenceEncoder
+    from legal_rag_tpu.retrieval.engine import RetrievalEngine
+
+    texts = ["alpha beta gamma", "delta epsilon", "zeta eta theta"]
+    enc = SentenceEncoder(cfg=CFG.encoder, vocab_corpus=texts, seed=7)
+    # perturb weights to simulate fine-tuning (seed no longer explains them)
+    import jax.numpy as jnp
+
+    enc.params["embeddings"]["word"] = (
+        enc.params["embeddings"]["word"] + 0.1
+    )
+    store = build_index(_chunks(texts), encoder=enc, config=CFG,
+                        store_dir=tmp_path)
+    loaded = VectorStore.load(tmp_path)
+    assert loaded.encoder_params is not None
+    engine = RetrievalEngine(loaded, config=CFG, use_pallas=False)
+    q = "alpha beta"
+    np.testing.assert_allclose(
+        engine.encoder.encode([q]), enc.encode([q]), atol=1e-6,
+    )
