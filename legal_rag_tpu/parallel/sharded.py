@@ -42,14 +42,34 @@ AXIS = "shard"
 
 def _local_dense_topc(
     q, docs_t_local, base, n_docs, c, precision, use_pallas,
-    block_n=1024, block_q=8,
+    block_n=1024, block_q=8, doc_scales=None,
 ):
     """Local [Q, C] dense candidates with global ids; padding masked.
 
-    When the document shard is stored bfloat16 (2x HBM bandwidth, the
-    fast serving mode), queries cast to bf16 and the matmul runs a
-    single MXU pass; fp32 docs keep the requested (parity) precision.
+    bfloat16 doc shards: queries cast to bf16, single MXU pass.
+    int8 doc shards: queries quantize per-row symmetric, the matmul
+    accumulates int32 on the MXU, and the per-query x per-doc scales
+    dequantize the accumulator. fp32 keeps the requested (parity)
+    precision.
     """
+    if docs_t_local.dtype == jnp.int8:
+        q_scale = jnp.max(jnp.abs(q), axis=1) / 127.0          # [Q]
+        q_scale = jnp.where(q_scale == 0, 1.0, q_scale)
+        q_i8 = jnp.clip(
+            jnp.round(q / q_scale[:, None]), -127, 127
+        ).astype(jnp.int8)
+        acc = jnp.dot(
+            q_i8, docs_t_local, preferred_element_type=jnp.int32
+        )
+        scores = (
+            acc.astype(jnp.float32)
+            * q_scale[:, None]
+            * doc_scales[None, :]
+        )
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + base
+        scores = jnp.where(col < n_docs, scores, -jnp.inf)
+        s, i = _topk_padded(scores, c)
+        return s, jnp.where(i >= 0, i + base, i)
     if docs_t_local.dtype == jnp.bfloat16:
         q = q.astype(jnp.bfloat16)
         precision = jax.lax.Precision.DEFAULT
@@ -109,6 +129,7 @@ def sharded_hybrid_search(
     post_w: jax.Array,        # [Q, P]
     q_emb: jax.Array,         # [Q, D] (replicated)
     weights: jax.Array,       # [Q] hybrid weights
+    doc_scales: Optional[jax.Array] = None,  # [Npad] sharded, int8 mode
     *,
     mesh: Mesh,
     k: int,
@@ -131,15 +152,19 @@ def sharded_hybrid_search(
     n_shards = mesh.shape[AXIS]
     n_local = docs_t.shape[1] // n_shards
     q = q_emb.shape[0]
+    if doc_scales is None:
+        # dummy (unsharded-content-free) scales so the shard_map
+        # signature is static; only the int8 path reads them
+        doc_scales = jnp.ones((docs_t.shape[1],), dtype=jnp.float32)
 
-    def body(docs_local, pids, pw, qe, w):
+    def body(docs_local, scales_local, pids, pw, qe, w):
         shard = jax.lax.axis_index(AXIS)
         base = (shard * n_local).astype(jnp.int32)
 
         # ---- dense local candidates
         d_s, d_i = _local_dense_topc(
             qe, docs_local, base, n_docs, c, precision, use_pallas,
-            block_n, block_q,
+            block_n, block_q, doc_scales=scales_local,
         )
 
         # ---- BM25 local scores ([Q, n_local] scatter of in-range postings)
@@ -222,19 +247,30 @@ def sharded_hybrid_search(
     return shard_map(
         body,
         mesh=mesh,
-        in_specs=(spec_sharded, rep, rep, rep, P(None)),
+        in_specs=(spec_sharded, P(AXIS), rep, rep, rep, P(None)),
         out_specs=(rep, rep, rep, rep),
         check_vma=False,
-    )(docs_t, post_ids, post_w, q_emb, weights)
+    )(docs_t, doc_scales, post_ids, post_w, q_emb, weights)
 
 
 @dataclasses.dataclass
 class ShardedIndex:
-    """Device-resident sharded index handle."""
+    """Device-resident sharded index handle.
+
+    Storage modes (``dtype``):
+      - ``float32`` — exact-parity mode,
+      - ``bfloat16`` — 2x HBM footprint/bandwidth, single-pass MXU,
+      - ``int8`` — 4x compression: symmetric per-document quantization
+        (scale = max|x|/127 per column) with the dequant scale applied
+        to the int32 MXU accumulator; queries quantize per-row at
+        search time. Recall≈exact for well-separated neighbours
+        (tested); the memory mode for 10M+ docs/chip.
+    """
 
     docs_t: jax.Array      # [D, Npad] column-sharded
     mesh: Mesh
     n_docs: int
+    doc_scales: Optional[jax.Array] = None   # [Npad] f32, int8 mode only
 
     @classmethod
     def from_embeddings(
@@ -243,8 +279,6 @@ class ShardedIndex:
         mesh: Optional[Mesh] = None,
         dtype: str = "float32",
     ) -> "ShardedIndex":
-        """dtype='bfloat16' stores the doc matrix at half the HBM
-        footprint/bandwidth (fast mode; exact-parity mode is float32)."""
         from legal_rag_tpu.parallel.mesh import make_mesh
 
         mesh = mesh or make_mesh()
@@ -254,11 +288,28 @@ class ShardedIndex:
         # keep the transposed layout contiguous per shard column-block
         docs_t = np.zeros((d, n_pad), dtype=np.float32)
         docs_t[:, :n] = np.ascontiguousarray(embeddings.T)
+        sharding = NamedSharding(mesh, P(None, AXIS))
+        scale_sharding = NamedSharding(mesh, P(AXIS))
+
+        if dtype == "int8":
+            scales = np.abs(docs_t).max(axis=0) / 127.0     # per doc
+            scales[scales == 0] = 1.0
+            quant = np.clip(
+                np.rint(docs_t / scales[None, :]), -127, 127
+            ).astype(np.int8)
+            return cls(
+                docs_t=jax.device_put(jnp.asarray(quant), sharding),
+                mesh=mesh,
+                n_docs=n,
+                doc_scales=jax.device_put(
+                    jnp.asarray(scales.astype(np.float32)), scale_sharding
+                ),
+            )
+
         device = jnp.asarray(
             docs_t,
             dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32,
         )
-        sharding = NamedSharding(mesh, P(None, AXIS))
         return cls(
             docs_t=jax.device_put(device, sharding),
             mesh=mesh,

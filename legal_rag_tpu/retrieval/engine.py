@@ -159,6 +159,7 @@ class RetrievalEngine:
                 jnp.asarray(post_w),
                 jnp.asarray(q_emb),
                 jnp.asarray(np.asarray(hybrid_weights, dtype=np.float32)),
+                self.index.doc_scales,
                 mesh=self.mesh,
                 k=k,
                 c=max(cfg.fusion.candidate_multiplier * k, k),
