@@ -116,11 +116,48 @@ def _topk_padded(scores, c):
     return s, i
 
 
+def _bm25_segment_stats(pids, pw, n_docs):
+    """Per-doc BM25 totals from the postings alone — no [Q, N] buffer.
+
+    Sorts postings by doc id, then segment-sums with a cumsum +
+    boundary-cummax scan (weights are non-negative, so the running
+    cumsum is monotone and ``cummax`` of boundary cumsums recovers each
+    segment's starting offset). Everything is O(P) replicated compute:
+    the scalable sparse path for shards beyond ~64k docs, where a dense
+    accumulator would cost a quarter-gigabyte per 64-query batch.
+
+    Returns (sid, is_end, totals, global_max):
+      sid [Q, P] sorted ids; is_end marks each doc's last posting;
+      totals at end positions hold that doc's full BM25 score;
+      global_max [Q] is the corpus-wide max (only docs with postings
+      can have a non-zero score).
+    """
+    q = pids.shape[0]
+    sid, sw = jax.lax.sort((pids, pw), num_keys=1, dimension=1)
+    cs = jnp.cumsum(sw, axis=1)
+    nxt = jnp.concatenate(
+        [sid[:, 1:], jnp.full((q, 1), -2, dtype=sid.dtype)], axis=1
+    )
+    is_end = sid != nxt
+    end_cs = jnp.where(is_end, cs, 0.0)
+    prev_end = jnp.concatenate(
+        [jnp.zeros((q, 1), dtype=cs.dtype),
+         jax.lax.cummax(end_cs, axis=1)[:, :-1]],
+        axis=1,
+    )
+    totals = cs - prev_end
+    valid = is_end & (sid >= 0) & (sid < n_docs)
+    masked = jnp.where(valid, totals, -jnp.inf)
+    global_max = jnp.max(masked, axis=1)
+    global_max = jnp.where(jnp.isfinite(global_max), global_max, 0.0)
+    return sid, valid, totals, global_max
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "mesh", "k", "c", "n_docs", "mode", "use_pallas", "precision",
-        "rrf_k", "block_n", "block_q",
+        "rrf_k", "block_n", "block_q", "sparse_mode",
     ),
 )
 def sharded_hybrid_search(
@@ -141,6 +178,7 @@ def sharded_hybrid_search(
     rrf_k: int = 60,
     block_n: int = 1024,
     block_q: int = 8,
+    sparse_mode: str = "auto",   # auto | scatter | segsum
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Returns ``(fused [Q,k], ids [Q,k], sem [Q,k], keyword [Q,k])``.
 
@@ -157,9 +195,14 @@ def sharded_hybrid_search(
         # signature is static; only the int8 path reads them
         doc_scales = jnp.ones((docs_t.shape[1],), dtype=jnp.float32)
 
+    use_segsum = sparse_mode == "segsum" or (
+        sparse_mode == "auto" and n_local > LARGE_N_THRESHOLD
+    )
+
     def body(docs_local, scales_local, pids, pw, qe, w):
         shard = jax.lax.axis_index(AXIS)
         base = (shard * n_local).astype(jnp.int32)
+        qidx = jnp.arange(q, dtype=jnp.int32)[:, None]
 
         # ---- dense local candidates
         d_s, d_i = _local_dense_topc(
@@ -167,36 +210,39 @@ def sharded_hybrid_search(
             block_n, block_q, doc_scales=scales_local,
         )
 
-        # ---- BM25 local scores ([Q, n_local] scatter of in-range postings)
-        # postings below the shard's range would otherwise wrap as
-        # negative indices — remap every out-of-range id to n_local so
-        # scatter mode="drop" discards it
-        local_pid = pids - base
-        local_pid = jnp.where(
-            (local_pid >= 0) & (local_pid < n_local), local_pid, n_local
-        )
-        bm_local = jnp.zeros((q, n_local), dtype=jnp.float32)
-        bm_local = bm_local.at[
-            jnp.arange(q, dtype=jnp.int32)[:, None], local_pid
-        ].add(pw, mode="drop")
-        local_max = jnp.max(bm_local, axis=1)
-        global_max = jax.lax.pmax(local_max, AXIS)          # [Q]
+        # ---- BM25 scores, two strategies:
+        # scatter: dense [Q, n_local] accumulator + pmax — cheap at
+        #   small shards, O(n_local) memory.
+        # segsum: sorted-postings segment sums — O(P) replicated
+        #   compute, no dense buffer; the scalable path for big shards.
+        if use_segsum:
+            sid, s_valid, s_totals, global_max = _bm25_segment_stats(
+                pids, pw, n_docs
+            )
+        else:
+            # postings below the shard's range would otherwise wrap as
+            # negative indices — remap out-of-range ids to n_local so
+            # scatter mode="drop" discards them
+            local_pid = pids - base
+            local_pid = jnp.where(
+                (local_pid >= 0) & (local_pid < n_local), local_pid, n_local
+            )
+            bm_local = jnp.zeros((q, n_local), dtype=jnp.float32)
+            bm_local = bm_local.at[qidx, local_pid].add(pw, mode="drop")
+            global_max = jax.lax.pmax(jnp.max(bm_local, axis=1), AXIS)
 
-        # BM25 value at the dense candidates (all local by construction;
-        # -1 pad slots and global-padding docs map to 0)
-        qidx = jnp.arange(q, dtype=jnp.int32)[:, None]
-        cand_local = jnp.clip(d_i - base, 0, n_local - 1)
-        d_bm = bm_local[qidx, cand_local]
-        d_bm = jnp.where((d_i >= n_docs) | (d_i < 0), 0.0, d_bm)
+            # BM25 value at the dense candidates (all local here)
+            cand_local = jnp.clip(d_i - base, 0, n_local - 1)
+            d_bm = bm_local[qidx, cand_local]
+            d_bm = jnp.where((d_i >= n_docs) | (d_i < 0), 0.0, d_bm)
 
         # ---- merge candidates across shards (one gather each)
         gather = lambda x: jax.lax.all_gather(x, AXIS)       # [S, Q, C]
         to_qc = lambda x: x.transpose(1, 0, 2).reshape(q, n_shards * c)
         all_ds = to_qc(gather(d_s))
         all_di = to_qc(gather(d_i))
-        all_dbm = to_qc(gather(d_bm))
 
-        if mode == "rrf":
+        if mode == "rrf" and not use_segsum:
             # sparse local candidates — a full [Q, n_local] top-C that
             # only RRF needs (weighted mode fuses dense candidates only)
             col = (
@@ -211,7 +257,15 @@ def sharded_hybrid_search(
         # ---- replicated epilogue
         top_ds, pos = jax.lax.top_k(all_ds, c)               # global dense top-C
         top_di = jnp.take_along_axis(all_di, pos, axis=1)
-        top_dbm = jnp.take_along_axis(all_dbm, pos, axis=1)
+        if use_segsum:
+            # BM25 at the global candidates straight from segment sums
+            sel = (sid[:, None, :] == top_di[:, :, None]) & s_valid[:, None, :]
+            top_dbm = jnp.max(
+                jnp.where(sel, s_totals[:, None, :], 0.0), axis=2
+            )
+        else:
+            all_dbm = to_qc(gather(d_bm))
+            top_dbm = jnp.take_along_axis(all_dbm, pos, axis=1)
 
         gmax = jnp.where(global_max > 0, global_max, 1.0)[:, None]
         bm_norm = top_dbm / gmax
@@ -223,8 +277,17 @@ def sharded_hybrid_search(
             sem = jnp.take_along_axis(top_ds, fpos, axis=1)
             key = jnp.take_along_axis(bm_norm, fpos, axis=1)
         else:  # rrf
-            top_ss, spos = jax.lax.top_k(all_ss, c)
-            top_si = jnp.take_along_axis(all_si, spos, axis=1)
+            if use_segsum:
+                # global sparse top-C straight from segment totals
+                masked = jnp.where(s_valid, s_totals, -jnp.inf)
+                top_ss, spos = jax.lax.top_k(masked, c)
+                top_si = jnp.take_along_axis(sid, spos, axis=1)
+                top_si = jnp.where(
+                    jnp.isfinite(top_ss), top_si, jnp.int32(-1)
+                )
+            else:
+                top_ss, spos = jax.lax.top_k(all_ss, c)
+                top_si = jnp.take_along_axis(all_si, spos, axis=1)
 
             # invalid slots (pad -1 or global-padding docs) must not
             # accumulate RRF mass: remap each to a unique out-of-range

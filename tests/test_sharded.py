@@ -135,3 +135,24 @@ def test_pallas_interpret_inside_shard_map(setup):
     )
     np.testing.assert_array_equal(np.asarray(ids_p), np.asarray(ids_x))
     np.testing.assert_allclose(np.asarray(f_p), np.asarray(f_x), rtol=1e-5)
+
+
+@pytest.mark.parametrize("mode", ["weighted", "rrf"])
+def test_segsum_sparse_path_matches_scatter(setup, mode):
+    """The scalable sorted-postings segment-sum BM25 path must produce
+    identical results to the dense scatter accumulator."""
+    docs, q_emb, bm25, post_ids, post_w, _ = setup
+    w = np.full(4, 0.5, dtype=np.float32)
+    mesh = make_mesh(4)
+    index = ShardedIndex.from_embeddings(docs, mesh)
+    args = (jnp.asarray(post_ids), jnp.asarray(post_w),
+            jnp.asarray(q_emb), jnp.asarray(w))
+    kw = dict(mesh=mesh, k=5, c=10, n_docs=docs.shape[0], mode=mode)
+    f_sc, i_sc, s_sc, k_sc = sharded_hybrid_search(
+        index.docs_t, *args, sparse_mode="scatter", **kw)
+    f_sg, i_sg, s_sg, k_sg = sharded_hybrid_search(
+        index.docs_t, *args, sparse_mode="segsum", **kw)
+    np.testing.assert_array_equal(np.asarray(i_sc), np.asarray(i_sg))
+    np.testing.assert_allclose(np.asarray(f_sc), np.asarray(f_sg), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(k_sc), np.asarray(k_sg),
+                               rtol=1e-5, atol=1e-6)
