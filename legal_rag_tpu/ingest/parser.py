@@ -179,8 +179,11 @@ class LegalMarkdownParser:
         ctx = self.ctx
         if ctx.law in ("BNS", "BNSS", "BSA") and ctx.section:
             return f"{ctx.law}_{ctx.section}"
-        if ctx.law == "NALSA" and ctx.clause:
-            return f"NALSA_C{ctx.clause}"
+        if ctx.law == "NALSA":
+            if ctx.clause:
+                return f"NALSA_C{ctx.clause}"
+            if ctx.source_file and ctx.source_file.startswith("nalsa_table"):
+                return "NALSA_SCHEDULE"  # compensation schedule rows
         if ctx.law == "SOP":
             if ctx.source_file and ctx.source_file.startswith("General"):
                 if self._topic_ordinal:

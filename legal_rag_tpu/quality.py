@@ -14,23 +14,34 @@ import json
 import time
 from typing import Dict, List, Optional
 
-# (query, expected_context) — victim queries must produce safety fields
+# (query, expected_context, grounding) — victim queries must produce
+# safety fields; grounding (optional) is a set of section_id prefixes
+# of which at least one must appear in the retrieved context, pinning
+# retrieval quality end-to-end (keyword side is deterministic even
+# with a random-weight encoder)
 QUALITY_SUITE = (
-    ("I was robbed at gunpoint just now, what do I do?", "victim_distress"),
-    ("Someone just assaulted my sister, help us", "victim_distress"),
-    ("My house was burgled and my jewellery was stolen", "victim_distress"),
-    ("I have been cheated by an online seller", "victim_distress"),
-    ("What is the punishment for robbery under BNS?", "informational"),
-    ("What is a Zero FIR?", "informational"),
-    ("Is rape a bailable offence?", "informational"),
-    ("How much compensation can an acid attack victim get?", "informational"),
-    ("What is the procedure to file an FIR electronically?", "informational"),
+    ("I was robbed at gunpoint just now, what do I do?",
+     "victim_distress", None),
+    ("Someone just assaulted my sister, help us", "victim_distress", None),
+    ("My house was burgled and my jewellery was stolen",
+     "victim_distress", None),
+    ("I have been cheated by an online seller", "victim_distress", None),
+    ("What is the punishment for robbery under BNS?",
+     "informational", ("BNS_",)),
+    ("What is a Zero FIR?", "informational", ("GSOP_", "BNSS_")),
+    ("Is rape a bailable offence?", "informational", None),
+    ("How much compensation can an acid attack victim get?",
+     "informational", ("NALSA_",)),
+    ("What is the procedure to file an FIR electronically?",
+     "informational", ("GSOP_", "BNSS_")),
     ("Which sections of BNSS deal with medical examination of victims?",
-     "informational"),
+     "informational", ("BNSS_", "GSOP_")),
 )
 
 
-def validate_result(result: Dict, expected_context: str) -> List[str]:
+def validate_result(
+    result: Dict, expected_context: str, grounding=None
+) -> List[str]:
     """Returns a list of failure strings (empty = pass)."""
     failures: List[str] = []
     resp = result.get("response", {})
@@ -49,6 +60,17 @@ def validate_result(result: Dict, expected_context: str) -> List[str]:
     else:
         if resp.get("safety_alert"):
             failures.append("informational query has safety_alert")
+    if grounding:
+        sids = [
+            c.get("section_id") or ""
+            for c in result.get("context_used", [])
+        ]
+        if not any(
+            sid.startswith(prefix) for sid in sids for prefix in grounding
+        ):
+            failures.append(
+                f"retrieval missed expected sources {grounding}; got {sids}"
+            )
     return failures
 
 
@@ -71,11 +93,13 @@ def run_quality_eval(
     )
 
     results = []
-    for i, (query, expected_context) in enumerate(suite):
+    for i, case in enumerate(suite):
+        query, expected_context = case[0], case[1]
+        grounding = case[2] if len(case) > 2 else None
         t0 = time.time()
         try:
             out = engine.query(query)
-            failures = validate_result(out, expected_context)
+            failures = validate_result(out, expected_context, grounding)
             detected = out.get("intent", {}).get("user_context")
         except Exception as e:  # noqa: BLE001 — a crash is a failure
             out = None

@@ -15,14 +15,22 @@ def offline_engine():
     from legal_rag_tpu.index.builder import build_index
     from legal_rag_tpu.retrieval.facade import LegalEngine
 
+    from legal_rag_tpu.config import FusionConfig
+
     cfg = RetrievalConfig(
         encoder=EncoderConfig(
             vocab_size=8000, hidden=32, layers=2, heads=4,
             intermediate=64, max_len=64, encode_batch=512,
         ),
         sharding=ShardingConfig(num_shards=2),
+        # RRF: keyword-only hits can surface (the weighted parity mode
+        # fuses dense candidates only — the reference's blind spot —
+        # and an untrained offline encoder gives junk dense candidates)
+        fusion=FusionConfig(mode="rrf"),
     )
-    store = build_index("/root/reference/legal_chunks.json", config=cfg)
+    # build from the documents (our ingest assigns section_ids, which
+    # the grounding checks in the quality suite rely on)
+    store = build_index("/root/reference/documents", config=cfg)
     return LegalEngine(store=store, config=cfg, use_llm=False)
 
 
