@@ -49,8 +49,13 @@ class LegalEngine:
         )
         self.responder = LegalResponder(responder_llm)
 
-    def query(self, query_text: str, k: int = 5) -> Dict[str, Any]:
-        orchestration = self.orchestrator.orchestrate(query_text, k=k)
+    def query(
+        self, query_text: str, k: int = 5, mode: Optional[str] = None
+    ) -> Dict[str, Any]:
+        """mode: None = config default; 'weighted' = reference-parity
+        fusion; 'rrf' = native fusion (keyword-only hits can surface).
+        """
+        orchestration = self.orchestrator.orchestrate(query_text, k=k, mode=mode)
         response = self.responder.generate_response(
             query=query_text,
             context=orchestration["results"],

@@ -52,7 +52,9 @@ class LegalOrchestrator:
             if law and section and meta.get("unit_type") == "section":
                 self.section_lookup[(law, section)] = chunk
 
-    def orchestrate(self, query: str, k: int = 5) -> Dict[str, Any]:
+    def orchestrate(
+        self, query: str, k: int = 5, mode: Optional[str] = None
+    ) -> Dict[str, Any]:
         intent = self.classifier.classify(query)
         fusion_cfg = self.engine.config.fusion
 
@@ -72,7 +74,9 @@ class LegalOrchestrator:
         ]
 
         # ONE batched device program for the whole expansion set
-        batched = self.engine.search_batch(queries, k=k, hybrid_weights=weights)
+        batched = self.engine.search_batch(
+            queries, k=k, hybrid_weights=weights, mode=mode
+        )
 
         # merge in query order, dedupe by canonical header
         # (reference orchestrator.py:58-62)

@@ -170,10 +170,15 @@ class HttpApp:
             # it, reference app.py:28)
             return "stream", self._query_stream(query_text)
 
+        mode = request.get("fusion_mode")
+        if mode not in (None, "weighted", "rrf"):
+            return 422, {"detail": "fusion_mode must be 'weighted' or 'rrf'"}
+
         start = time.time()
         try:
             result = await asyncio.get_event_loop().run_in_executor(
-                None, self.host.engine.query, query_text
+                None,
+                lambda: self.host.engine.query(query_text, mode=mode),
             )
         except Exception as e:  # noqa: BLE001 — 500 with detail
             logger.exception("query failed")

@@ -217,3 +217,17 @@ def test_streaming_query(server_port):
     assert events["response"]["safety_alert"]
     # ordering: intent before response
     assert raw.index("event: intent") < raw.index("event: response")
+
+
+def test_fusion_mode_api(server_port):
+    status, body = _post(
+        server_port, "/api/v1/query",
+        {"query": "How much compensation for an acid attack victim?",
+         "fusion_mode": "rrf"},
+    )
+    assert status == 200 and body["answer"]
+    status, body = _post(
+        server_port, "/api/v1/query",
+        {"query": "x", "fusion_mode": "bogus"},
+    )
+    assert status == 422
