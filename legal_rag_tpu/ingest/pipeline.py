@@ -84,6 +84,34 @@ def parse_corpus(
     return parser.chunks
 
 
+def generic_specs(docs_dir) -> List[Tuple[str, bool, Dict]]:
+    """Corpus specs for an ARBITRARY markdown tree: every top-level
+    ``*.md`` file and every subdirectory becomes a corpus entry whose
+    law/label derives from its name. This generalizes the framework
+    beyond the fixed legal corpus — any markdown knowledge base
+    ingests, with the structural parser still extracting PART/CHAPTER/
+    Section/step hierarchy where present."""
+    docs_dir = Path(docs_dir)
+    specs: List[Tuple[str, bool, Dict]] = []
+    for entry in sorted(docs_dir.iterdir()):
+        label = entry.stem.replace("_", " ").strip()
+        overrides = {
+            "law": entry.stem.upper()[:16],
+            "law_name": label.title(),
+            "doc_type": "document",
+        }
+        if entry.is_dir():
+            specs.append((entry.name, True, overrides))
+        elif entry.name.endswith(".md"):
+            specs.append((entry.name, False, overrides))
+    return specs
+
+
+def parse_any_corpus(docs_dir) -> List[LegalChunk]:
+    """Parse a markdown tree with no predefined corpus layout."""
+    return parse_corpus(docs_dir, specs=generic_specs(docs_dir))
+
+
 def law_counts(chunks: Sequence[LegalChunk]) -> Dict[str, int]:
     counts: Dict[str, int] = {}
     for c in chunks:

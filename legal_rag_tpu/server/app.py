@@ -33,6 +33,9 @@ _CORS_HEADERS = (
     ("Access-Control-Allow-Headers", "*"),
 )
 
+# request bodies are a single query string; anything huge is abuse
+_MAX_BODY_BYTES = 1 << 20
+
 
 class EngineHost:
     """Background-loading engine holder (reference app.py:47-70)."""
@@ -255,6 +258,16 @@ async def _serve_connection(app: HttpApp, reader, writer) -> None:
             key, _, value = line.decode("latin1").partition(":")
             headers[key.strip().lower()] = value.strip()
         length = int(headers.get("content-length", "0") or "0")
+        if length > _MAX_BODY_BYTES:
+            data = json.dumps({"detail": "request body too large"}).encode()
+            writer.write(
+                (
+                    f"HTTP/1.1 413 ERR\r\nContent-Type: application/json\r\n"
+                    f"Content-Length: {len(data)}\r\nConnection: close\r\n\r\n"
+                ).encode() + data
+            )
+            await writer.drain()
+            return
         body = await reader.readexactly(length) if length else b""
 
         parsed = urllib.parse.urlsplit(target)

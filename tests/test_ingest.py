@@ -200,3 +200,23 @@ def test_sop_steps():
     assert [c.metadata["step"] for c in chunks] == [None, "Step 01"]
     assert chunks[1].canonical_header.endswith("Step 01")
     assert chunks[1].metadata["unit_type"] == "step"
+
+
+def test_generic_corpus_ingest(tmp_path):
+    """Arbitrary markdown trees ingest without predefined specs."""
+    from legal_rag_tpu.ingest.pipeline import parse_any_corpus
+
+    (tmp_path / "handbook.md").write_text(
+        "# CHAPTER I\n## Section 1 — Greetings\nHello world.\n", encoding="utf-8"
+    )
+    sub = tmp_path / "policies"
+    sub.mkdir()
+    (sub / "leave.md").write_text(
+        "## Section 2 — Leave policy\nTake leave responsibly.\n",
+        encoding="utf-8",
+    )
+    chunks = parse_any_corpus(tmp_path)
+    assert len(chunks) == 2
+    laws = {c.metadata["law"] for c in chunks}
+    assert laws == {"HANDBOOK", "POLICIES"}
+    assert any("Section 1 – Greetings" in c.canonical_header for c in chunks)

@@ -231,3 +231,15 @@ def test_fusion_mode_api(server_port):
         {"query": "x", "fusion_mode": "bogus"},
     )
     assert status == 422
+
+
+def test_oversized_body_rejected(server_port):
+    import http.client
+
+    conn = http.client.HTTPConnection("127.0.0.1", server_port, timeout=30)
+    big = json.dumps({"query": "x" * (2 << 20)})
+    conn.request("POST", "/api/v1/query", body=big,
+                 headers={"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    assert resp.status == 413
+    conn.close()
