@@ -234,7 +234,8 @@ def main():
 
         if floor < 1e-3 and best_pipe < 1e-3:
             break  # healthy measurement banked
-        time.sleep(45)
+        if attempt < 2:
+            time.sleep(45)  # let the relay recover before retrying
 
     sync_dt, pipe_dt = best_sync, best_pipe
     dev_dt = min(sync_dt, pipe_dt)

@@ -165,7 +165,13 @@ def main(argv=None) -> int:
     )
     p.add_argument("--store", required=True)
     p.add_argument("--out", default="encoder_tuned.npz")
-    p.add_argument("--steps", type=int, default=200)
+    def _positive(v):
+        iv = int(v)
+        if iv < 1:
+            raise argparse.ArgumentTypeError("must be >= 1")
+        return iv
+
+    p.add_argument("--steps", type=_positive, default=200)
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--lr", type=float, default=2e-5)
     p.set_defaults(fn=_cmd_finetune)

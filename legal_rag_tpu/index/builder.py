@@ -117,6 +117,9 @@ def build_index(
             "heads": encoder.cfg.heads,
             "intermediate": encoder.cfg.intermediate,
             "max_len": encoder.cfg.max_len,
+            # dtype decides matmul precision at encode time — queries
+            # must use the same precision the doc embeddings got
+            "dtype": encoder.cfg.dtype,
             "seed": getattr(encoder, "seed", 0),
         },
         corpus_hash=corpus_hash,

@@ -178,7 +178,10 @@ class VectorStore:
             with open(wp_path, "r", encoding="utf-8") as f:
                 wp_vocab = {line.rstrip("\n"): i for i, line in enumerate(f)}
         encoder_params = None
-        if (store_dir / "encoder.npz").exists():
+        # only trust encoder.npz when THIS manifest lists (and thus
+        # hash-verified) it — a stale file from an earlier build in the
+        # same directory must not silently supply wrong weights
+        if "encoder.npz" in manifest.get("artifacts", {}):
             from legal_rag_tpu.models.convert import load_params_npz
 
             encoder_params = load_params_npz(store_dir / "encoder.npz")

@@ -93,10 +93,17 @@ def generic_specs(docs_dir) -> List[Tuple[str, bool, Dict]]:
     Section/step hierarchy where present."""
     docs_dir = Path(docs_dir)
     specs: List[Tuple[str, bool, Dict]] = []
+    seen_laws: Dict[str, int] = {}
     for entry in sorted(docs_dir.iterdir()):
         label = entry.stem.replace("_", " ").strip()
+        law = entry.stem.upper()[:16]
+        # distinct sources must not merge under one truncated label
+        count = seen_laws.get(law, 0)
+        seen_laws[law] = count + 1
+        if count:
+            law = f"{law[:13]}_{count + 1}"
         overrides = {
-            "law": entry.stem.upper()[:16],
+            "law": law,
             "law_name": label.title(),
             "doc_type": "document",
         }

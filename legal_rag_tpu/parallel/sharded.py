@@ -279,11 +279,15 @@ def sharded_hybrid_search(
         else:  # rrf
             if use_segsum:
                 # global sparse top-C straight from segment totals
+                # (_topk_padded: c may exceed the postings budget P)
                 masked = jnp.where(s_valid, s_totals, -jnp.inf)
-                top_ss, spos = jax.lax.top_k(masked, c)
-                top_si = jnp.take_along_axis(sid, spos, axis=1)
+                top_ss, spos = _topk_padded(masked, c)
+                safe_pos = jnp.clip(spos, 0, masked.shape[1] - 1)
+                top_si = jnp.take_along_axis(sid, safe_pos, axis=1)
                 top_si = jnp.where(
-                    jnp.isfinite(top_ss), top_si, jnp.int32(-1)
+                    (spos >= 0) & jnp.isfinite(top_ss),
+                    top_si,
+                    jnp.int32(-1),
                 )
             else:
                 top_ss, spos = jax.lax.top_k(all_ss, c)

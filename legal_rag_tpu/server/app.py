@@ -166,16 +166,16 @@ class HttpApp:
         if not query_text or not isinstance(query_text, str):
             return 422, {"detail": "field 'query' (string) is required"}
 
+        mode = request.get("fusion_mode")
+        if mode not in (None, "weighted", "rrf"):
+            return 422, {"detail": "fusion_mode must be 'weighted' or 'rrf'"}
+
         if request.get("stream"):
             # staged SSE: intent + retrieved context as soon as the
             # device search returns, the generated answer when ready
             # (the reference accepts this flag but never implements
             # it, reference app.py:28)
-            return "stream", self._query_stream(query_text)
-
-        mode = request.get("fusion_mode")
-        if mode not in (None, "weighted", "rrf"):
-            return 422, {"detail": "fusion_mode must be 'weighted' or 'rrf'"}
+            return "stream", self._query_stream(query_text, mode)
 
         start = time.time()
         try:
@@ -189,13 +189,14 @@ class HttpApp:
         logger.info("query processed in %.2fs", time.time() - start)
         return 200, _response_payload(result)
 
-    async def _query_stream(self, query_text: str):
+    async def _query_stream(self, query_text: str, mode=None):
         """SSE event generator: orchestration first, answer second."""
         loop = asyncio.get_event_loop()
         engine = self.host.engine
         try:
             orchestration = await loop.run_in_executor(
-                None, engine.orchestrator.orchestrate, query_text
+                None,
+                lambda: engine.orchestrator.orchestrate(query_text, mode=mode),
             )
             yield "intent", orchestration["intent"]
             yield "context", [
@@ -259,6 +260,14 @@ async def _serve_connection(app: HttpApp, reader, writer) -> None:
             headers[key.strip().lower()] = value.strip()
         length = int(headers.get("content-length", "0") or "0")
         if length > _MAX_BODY_BYTES:
+            # drain (bounded) before responding: closing mid-send would
+            # RST the client before it can read the 413
+            remaining = min(length, 64 << 20)
+            while remaining > 0:
+                got = await reader.read(min(remaining, 1 << 16))
+                if not got:
+                    break
+                remaining -= len(got)
             data = json.dumps({"detail": "request body too large"}).encode()
             writer.write(
                 (

@@ -143,6 +143,8 @@ def normalize_section_id(source_type: SourceType, raw: str) -> Optional[str]:
         m = re.search(r"(?:rsop[_\s\-]*|step\s*)?(\d+)", s, re.I)
         return f"RSOP_{int(m.group(1)):03d}" if m else None
     if source_type == SourceType.NALSA:
+        if "schedule" in s.lower():
+            return "NALSA_SCHEDULE"  # compensation schedule rows
         m = re.search(r"(\d+)", s)
         return f"NALSA_C{m.group(1)}" if m else None
     law = _LAW_FOR_TYPE.get(source_type)

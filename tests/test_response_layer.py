@@ -536,3 +536,12 @@ def test_highlight_offsets(catalog):
         highlight_snippet=sec.content[:100], catalog=catalog,
     )
     assert out.highlights and out.highlights[0].start == 0
+
+
+def test_nalsa_schedule_fetchable(catalog):
+    out = fetch_source_content(
+        SourceType.NALSA, "NALSA_SCHEDULE", catalog=catalog
+    )
+    assert out is not None
+    assert out.section_id == "NALSA_SCHEDULE"
+    assert "Lakh" in out.content  # compensation amounts

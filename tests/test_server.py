@@ -243,3 +243,19 @@ def test_oversized_body_rejected(server_port):
     resp = conn.getresponse()
     assert resp.status == 413
     conn.close()
+
+
+def test_streaming_respects_fusion_mode(server_port):
+    import http.client
+
+    # invalid mode with stream=true must 422, not stream a 200
+    conn = http.client.HTTPConnection("127.0.0.1", server_port, timeout=30)
+    conn.request(
+        "POST", "/api/v1/query",
+        body=json.dumps({"query": "x", "stream": True,
+                         "fusion_mode": "bogus"}),
+        headers={"Content-Type": "application/json"},
+    )
+    resp = conn.getresponse()
+    assert resp.status == 422
+    conn.close()
