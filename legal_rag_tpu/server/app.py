@@ -135,6 +135,8 @@ class HttpApp:
             return self._health()
         if method == "POST" and path == "/api/v1/query":
             return await self._query(body)
+        if method == "POST" and path == "/api/v1/batch_search":
+            return await self._batch_search(body)
         if method == "GET" and path == "/rag/source":
             return self._source(query)
         return 404, {"detail": "not found"}
@@ -188,6 +190,65 @@ class HttpApp:
             return 500, {"detail": str(e)}
         logger.info("query processed in %.2fs", time.time() - start)
         return 200, _response_payload(result)
+
+    async def _batch_search(self, body: bytes):
+        """Raw batched retrieval: many queries, one device program —
+        the arrays-as-interface core exposed directly (no LLM stages).
+        Body: {"queries": [...], "k": 5, "fusion_mode": "weighted"}."""
+        if self.host.loading:
+            return 503, {"detail": "Legal Engine is still loading. Please wait."}
+        if not self.host.engine:
+            return 503, {
+                "detail": f"Legal Engine failed to load: {self.host.error}"
+            }
+        try:
+            request = json.loads(body or b"{}")
+        except json.JSONDecodeError:
+            return 400, {"detail": "invalid JSON body"}
+        queries = request.get("queries")
+        if (
+            not isinstance(queries, list)
+            or not queries
+            or not all(isinstance(s, str) and s for s in queries)
+        ):
+            return 422, {
+                "detail": "field 'queries' (non-empty list of strings) "
+                "is required"
+            }
+        if len(queries) > 256:
+            return 422, {"detail": "at most 256 queries per batch"}
+        k = request.get("k", 5)
+        if not isinstance(k, int) or not 1 <= k <= 100:
+            return 422, {"detail": "k must be an int in [1, 100]"}
+        mode = request.get("fusion_mode")
+        if mode not in (None, "weighted", "rrf"):
+            return 422, {"detail": "fusion_mode must be 'weighted' or 'rrf'"}
+
+        engine = self.host.engine.engine  # the RetrievalEngine core
+        try:
+            batched = await asyncio.get_event_loop().run_in_executor(
+                None,
+                lambda: engine.search_batch(queries, k=k, mode=mode),
+            )
+        except Exception as e:  # noqa: BLE001
+            logger.exception("batch search failed")
+            return 500, {"detail": str(e)}
+        return 200, {
+            "results": [
+                [
+                    {
+                        "doc_id": r.doc_id,
+                        "score": r.score,
+                        "semantic": r.semantic,
+                        "keyword": r.keyword,
+                        "citation": r.chunk.get("canonical_header"),
+                        "section_id": r.chunk.get("section_id"),
+                    }
+                    for r in rows
+                ]
+                for rows in batched
+            ]
+        }
 
     async def _query_stream(self, query_text: str, mode=None):
         """SSE event generator: orchestration first, answer second."""

@@ -259,3 +259,22 @@ def test_streaming_respects_fusion_mode(server_port):
     resp = conn.getresponse()
     assert resp.status == 422
     conn.close()
+
+
+def test_batch_search_endpoint(server_port):
+    status, body = _post(
+        server_port, "/api/v1/batch_search",
+        {"queries": ["punishment for robbery", "zero fir procedure",
+                     "victim compensation"], "k": 3, "fusion_mode": "rrf"},
+    )
+    assert status == 200
+    assert len(body["results"]) == 3
+    for rows in body["results"]:
+        assert len(rows) == 3
+        assert all("citation" in r and "doc_id" in r for r in rows)
+    # validation
+    assert _post(server_port, "/api/v1/batch_search", {"queries": []})[0] == 422
+    assert _post(server_port, "/api/v1/batch_search",
+                 {"queries": ["x"], "k": 0})[0] == 422
+    assert _post(server_port, "/api/v1/batch_search",
+                 {"queries": ["x"] * 257})[0] == 422
