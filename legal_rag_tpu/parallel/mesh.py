@@ -11,11 +11,11 @@ program spans hosts over DCN unchanged — that is pjit's contract.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 import jax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 
 def make_mesh(num_shards: Optional[int] = None, axis: str = "shard") -> Mesh:
@@ -27,24 +27,3 @@ def make_mesh(num_shards: Optional[int] = None, axis: str = "shard") -> Mesh:
             f"requested {num_shards} shards but only {len(devices)} devices"
         )
     return Mesh(np.array(devices[:num_shards]), (axis,))
-
-
-def pad_rows(arr: np.ndarray, multiple: int) -> np.ndarray:
-    """Zero-pad axis 0 to a multiple (so shards divide evenly)."""
-    n = arr.shape[0]
-    target = -(-n // multiple) * multiple
-    if target == n:
-        return arr
-    pad = [(0, target - n)] + [(0, 0)] * (arr.ndim - 1)
-    return np.pad(arr, pad)
-
-
-def shard_rows(
-    arr: np.ndarray, mesh: Mesh, axis: str = "shard"
-) -> Tuple[jax.Array, int]:
-    """Place ``arr`` row-sharded on the mesh (zero-padding rows so the
-    shard count divides N). Returns (device array, padded row count)."""
-    num = mesh.shape[axis]
-    padded = pad_rows(arr, num)
-    sharding = NamedSharding(mesh, P(axis, *([None] * (arr.ndim - 1))))
-    return jax.device_put(padded, sharding), padded.shape[0]

@@ -125,6 +125,33 @@ def context_sources(context: List[Dict], limit: int = 4) -> List[LegalSource]:
     return sources
 
 
+def _relevant_excerpt(query: str, body: str, max_chars: int = 400) -> str:
+    """Query-aware excerpt: pick the sentences with the highest query-
+    token overlap (in document order) instead of a blind prefix cut."""
+    from legal_rag_tpu.server.sentence_attribution import (
+        split_into_sentences,
+    )
+
+    sentences = split_into_sentences(body)
+    if len(sentences) <= 1:
+        excerpt = body
+    else:
+        q_tokens = {t for t in query.lower().split() if len(t) > 2}
+        scored = []
+        for idx, s in enumerate(sentences):
+            toks = set(s["text"].lower().split())
+            scored.append((len(q_tokens & toks), idx, s["text"]))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        picked = sorted(
+            [t for t in scored[:3] if t[0] > 0] or scored[:2],
+            key=lambda t: t[1],
+        )
+        excerpt = " ".join(t[2] for t in picked)
+    if len(excerpt) > max_chars:
+        excerpt = excerpt[:max_chars].rsplit(" ", 1)[0] + "…"
+    return excerpt
+
+
 def _extractive_response(
     query: str, context: List[Dict], intent: Dict
 ) -> LegalResponse:
@@ -136,9 +163,7 @@ def _extractive_response(
         chunk = c["chunk"]
         header = chunk["canonical_header"].replace("\n", " — ")
         body = chunk["text"].split("\n\n", 1)[-1].strip()
-        if len(body) > 400:
-            body = body[:400].rsplit(" ", 1)[0] + "…"
-        lines.append(f"**{header}**\n\n{body}")
+        lines.append(f"**{header}**\n\n{_relevant_excerpt(query, body)}")
         basis.append(header)
     answer = (
         f"Based on the retrieved legal provisions for your query "

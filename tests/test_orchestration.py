@@ -284,3 +284,28 @@ def test_parse_answer_units_top_level_array_is_garbage():
     from legal_rag_tpu.server.answer_units import parse_answer_units_response
 
     assert parse_answer_units_response('[{"text": "x", "kind": "derived"}]') == []
+
+
+def test_relevant_excerpt_picks_matching_sentences():
+    from legal_rag_tpu.retrieval.responder import _relevant_excerpt
+
+    body = (
+        "Preliminary provisions apply to this chapter. "
+        "The victim may lodge the FIR at any police station. "
+        "Unrelated administrative detail about filing cabinets. "
+        "A copy of the FIR shall be given free of cost to the victim."
+    )
+    out = _relevant_excerpt("where do I lodge an FIR and get a copy", body)
+    assert "lodge the FIR" in out
+    assert "free of cost" in out
+    assert "filing cabinets" not in out
+    # order preserved (document order, not score order)
+    assert out.index("lodge") < out.index("free of cost")
+
+
+def test_relevant_excerpt_falls_back_without_overlap():
+    from legal_rag_tpu.retrieval.responder import _relevant_excerpt
+
+    body = "First sentence here. Second sentence follows. Third one."
+    out = _relevant_excerpt("zzz qqq", body)
+    assert out.startswith("First sentence")
