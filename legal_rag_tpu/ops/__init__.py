@@ -13,6 +13,10 @@ from legal_rag_tpu.ops.sparse import (
     bm25_score_batch,
     bm25_topk,
 )
+from legal_rag_tpu.ops.maxsim import (
+    MultiVectorIndex,
+    maxsim_topk,
+)
 from legal_rag_tpu.ops.fusion import (
     weighted_fusion,
     rrf_fusion,
@@ -28,6 +32,8 @@ __all__ = [
     "build_bm25",
     "bm25_score_batch",
     "bm25_topk",
+    "MultiVectorIndex",
+    "maxsim_topk",
     "weighted_fusion",
     "rrf_fusion",
 ]

@@ -1,0 +1,138 @@
+"""Multi-vector late-interaction retrieval (ColBERT-style MaxSim).
+
+A capability beyond the reference (single-vector only), motivated by
+the retrieved IO-aware MaxSim kernel literature (PAPERS.md:
+FLASH-MAXSIM, TileMaxSim — patterns only): score a query against a
+document as the sum over query tokens of the best-matching document
+token similarity::
+
+    MaxSim(q, d) = sum_i  max_j  <q_i, d_j>
+
+Late interaction is a perfect MXU workload: the token-similarity
+tensor is one big matmul, and the max/sum reductions fuse behind it.
+The implementation blocks over documents (``lax.map``) so the
+``[Q, Tq, N, Td]`` similarity tensor never materializes beyond one
+block — memory is O(block * Tq * Td) regardless of corpus size.
+
+Index layout: ``doc_tokens [N, Td, D]`` (fixed token budget per doc,
+zero-padded) + ``doc_mask [N, Td]``. Padding tokens mask to -inf
+inside the max (a zero vector's similarity of 0 could otherwise beat
+legitimate negative similarities); docs with no tokens score 0.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "block_n", "precision")
+)
+def maxsim_topk(
+    q_tokens: jax.Array,    # [Q, Tq, D] query token embeddings
+    q_mask: jax.Array,      # [Q, Tq] 1 = real token
+    doc_tokens: jax.Array,  # [N, Td, D]
+    doc_mask: jax.Array,    # [N, Td]
+    k: int,
+    block_n: int = 512,
+    precision: jax.lax.Precision = jax.lax.Precision.DEFAULT,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact MaxSim top-k. Returns ``(scores [Q,k], ids [Q,k] i32)``
+    with descending scores, ties to the lowest doc id."""
+    q, tq, d = q_tokens.shape
+    n, td, _ = doc_tokens.shape
+    nb = -(-n // block_n)
+    n_pad = nb * block_n
+
+    doc_tokens = jnp.pad(doc_tokens, ((0, n_pad - n), (0, 0), (0, 0)))
+    doc_mask = jnp.pad(doc_mask, ((0, n_pad - n), (0, 0)))
+    blocks_t = doc_tokens.reshape(nb, block_n, td, d)
+    blocks_m = doc_mask.reshape(nb, block_n, td)
+
+    qt = q_tokens.reshape(q * tq, d)
+
+    def score_block(args):
+        bt, bm = args                                # [B, Td, D], [B, Td]
+        # one matmul: [Q*Tq, D] x [D, B*Td]
+        sims = jnp.dot(
+            qt, bt.reshape(block_n * td, d).T,
+            preferred_element_type=jnp.float32, precision=precision,
+        ).reshape(q, tq, block_n, td)
+        sims = jnp.where(
+            bm[None, None, :, :] > 0, sims, -jnp.inf
+        )
+        best = jnp.max(sims, axis=3)                 # [Q, Tq, B]
+        # docs with zero tokens: -inf -> contribute 0
+        best = jnp.where(jnp.isfinite(best), best, 0.0)
+        best = best * (q_mask[:, :, None] > 0)       # mask query padding
+        return jnp.sum(best, axis=1)                 # [Q, B]
+
+    scores = jax.lax.map(score_block, (blocks_t, blocks_m))  # [nb, Q, B]
+    scores = scores.transpose(1, 0, 2).reshape(q, n_pad)
+    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    scores = jnp.where(col < n, scores, -jnp.inf)
+    top_s, top_i = jax.lax.top_k(scores, k)
+    return top_s, top_i.astype(jnp.int32)
+
+
+@dataclasses.dataclass
+class MultiVectorIndex:
+    """Token-level index for late-interaction search."""
+
+    doc_tokens: jax.Array   # [N, Td, D], L2-normalized real tokens
+    doc_mask: jax.Array     # [N, Td]
+    n_docs: int
+
+    @classmethod
+    def from_token_embeddings(
+        cls,
+        token_embeddings,    # list of [t_i, D] arrays (variable length)
+        token_budget: int = 32,
+        dtype: str = "float32",
+    ) -> "MultiVectorIndex":
+        """Pack per-doc token embeddings into the fixed [N, Td, D]
+        layout (first ``token_budget`` tokens kept, L2-normalized)."""
+        n = len(token_embeddings)
+        if n == 0:
+            raise ValueError("no documents")
+        dim = token_embeddings[0].shape[-1]
+        toks = np.zeros((n, token_budget, dim), dtype=np.float32)
+        mask = np.zeros((n, token_budget), dtype=np.int32)
+        for i, te in enumerate(token_embeddings):
+            te = np.asarray(te, dtype=np.float32)[:token_budget]
+            norms = np.linalg.norm(te, axis=-1, keepdims=True)
+            te = te / np.maximum(norms, 1e-12)
+            toks[i, : te.shape[0]] = te
+            mask[i, : te.shape[0]] = 1
+        jdt = jnp.asarray(
+            toks, dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+        )
+        return cls(
+            doc_tokens=jdt, doc_mask=jnp.asarray(mask), n_docs=n
+        )
+
+    def search(
+        self, q_tokens, q_mask, k: int, block_n: int = 512
+    ) -> Tuple[jax.Array, jax.Array]:
+        q_tokens = jnp.asarray(q_tokens, dtype=self.doc_tokens.dtype)
+        return maxsim_topk(
+            q_tokens, jnp.asarray(q_mask),
+            self.doc_tokens, self.doc_mask,
+            k, block_n=block_n,
+        )
+
+
+def minilm_token_embeddings(params, input_ids, attention_mask, cfg):
+    """Per-token contextual embeddings from the MiniLM encoder
+    (L2-normalized), the encoder-side half of late interaction."""
+    from legal_rag_tpu.models.minilm import minilm_hidden_states
+
+    hidden = minilm_hidden_states(params, input_ids, attention_mask, cfg)
+    norms = jnp.sqrt(jnp.sum(hidden * hidden, axis=-1, keepdims=True))
+    return hidden / jnp.maximum(norms, 1e-12)
