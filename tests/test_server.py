@@ -278,3 +278,28 @@ def test_batch_search_endpoint(server_port):
                  {"queries": ["x"], "k": 0})[0] == 422
     assert _post(server_port, "/api/v1/batch_search",
                  {"queries": ["x"] * 257})[0] == 422
+
+
+def test_concurrent_queries_and_health(server_port):
+    """Parallel queries all succeed and /health stays responsive
+    mid-flight (the reference serializes on its event loop)."""
+    import concurrent.futures
+
+    queries = [
+        "what is the punishment for robbery",
+        "zero fir procedure",
+        "victim compensation for acid attack",
+        "medical examination of victims",
+        "I was robbed just now, help",
+        "what is section 173 bnss",
+    ]
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as pool:
+        futures = [
+            pool.submit(_post, server_port, "/api/v1/query", {"query": q})
+            for q in queries
+        ]
+        health_status, health = _get(server_port, "/health")
+        results = [f.result(timeout=120) for f in futures]
+    assert health_status == 200 and health["engine_status"] == "ready"
+    assert all(status == 200 for status, _ in results)
+    assert all(body["answer"] for _, body in results)
