@@ -136,3 +136,61 @@ def minilm_token_embeddings(params, input_ids, attention_mask, cfg):
     hidden = minilm_hidden_states(params, input_ids, attention_mask, cfg)
     norms = jnp.sqrt(jnp.sum(hidden * hidden, axis=-1, keepdims=True))
     return hidden / jnp.maximum(norms, 1e-12)
+
+
+class MultiVectorSearcher:
+    """Text-in, results-out late-interaction search over an encoder.
+
+    Builds the token-level index by running the corpus through the
+    MiniLM encoder in device batches; queries encode the same way at
+    search time. The single-vector engine stays the serving default —
+    this is the higher-fidelity (and costlier) retrieval mode."""
+
+    def __init__(
+        self,
+        texts,
+        encoder,                       # models.encoder.SentenceEncoder
+        token_budget: int = 32,
+        dtype: str = "float32",
+        batch_size: int = 64,
+        block_n: int = 512,
+    ):
+        self.encoder = encoder
+        self.token_budget = token_budget
+        self.block_n = block_n
+        token_embeddings = []
+        for lo in range(0, len(texts), batch_size):
+            ids, mask = self._tokenize(texts[lo : lo + batch_size])
+            tok = np.asarray(
+                minilm_token_embeddings(
+                    encoder.params, jnp.asarray(ids), jnp.asarray(mask),
+                    encoder.cfg,
+                )
+            )
+            for row_tok, row_mask in zip(tok, mask):
+                token_embeddings.append(row_tok[row_mask > 0])
+        self.index = MultiVectorIndex.from_token_embeddings(
+            token_embeddings, token_budget=token_budget, dtype=dtype
+        )
+
+    def _tokenize(self, texts):
+        tokenizer = getattr(self.encoder, "_fast_tokenizer", None) or (
+            self.encoder.tokenizer
+        )
+        return tokenizer.encode_batch(
+            list(texts), max_len=min(self.encoder.cfg.max_len, 128)
+        )
+
+    def search(self, queries, k: int = 5):
+        """Returns ``(scores [Q,k] np, ids [Q,k] np)``."""
+        ids, mask = self._tokenize(queries)
+        q_tok = minilm_token_embeddings(
+            self.encoder.params, jnp.asarray(ids), jnp.asarray(mask),
+            self.encoder.cfg,
+        )
+        # trim/pad query tokens to the index budget
+        tq = min(q_tok.shape[1], self.token_budget)
+        s, i = self.index.search(
+            q_tok[:, :tq], np.asarray(mask)[:, :tq], k, block_n=self.block_n
+        )
+        return np.asarray(s), np.asarray(i)

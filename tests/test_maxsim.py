@@ -124,3 +124,26 @@ def test_minilm_token_embeddings_shape():
     np.testing.assert_allclose(
         np.linalg.norm(np.asarray(tok), axis=-1), 1.0, rtol=1e-5
     )
+
+
+def test_multivector_searcher_end_to_end(corpus_texts):
+    """Text in, ranked ids out: a document queried by its own exact
+    text must rank itself first (late interaction self-match)."""
+    from legal_rag_tpu.config import EncoderConfig
+    from legal_rag_tpu.models.encoder import SentenceEncoder
+    from legal_rag_tpu.ops.maxsim import MultiVectorSearcher
+
+    texts = corpus_texts[:40]
+    enc = SentenceEncoder(
+        cfg=EncoderConfig(
+            vocab_size=2000, hidden=32, layers=2, heads=4,
+            intermediate=64, max_len=64,
+        ),
+        vocab_corpus=texts,
+    )
+    searcher = MultiVectorSearcher(texts, enc, token_budget=16, block_n=64)
+    probe_ids = [0, 7, 23]
+    scores, ids = searcher.search([texts[i] for i in probe_ids], k=3)
+    for row, expected in zip(ids, probe_ids):
+        assert row[0] == expected, (row, expected)
+    assert scores.shape == (3, 3)
