@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import contextlib
 import os
+import threading
 import time
 from collections import defaultdict
 from typing import Dict
@@ -19,6 +20,9 @@ class StageTimer:
         self._totals: Dict[str, float] = defaultdict(float)
         self._counts: Dict[str, int] = defaultdict(int)
         self._last: Dict[str, float] = {}
+        # the server handles queries on a thread pool; accumulation is
+        # read-modify-write and must not lose updates under concurrency
+        self._lock = threading.Lock()
 
     @contextlib.contextmanager
     def stage(self, name: str):
@@ -37,25 +41,29 @@ class StageTimer:
                 yield
         finally:
             dt = time.perf_counter() - start
-            self._totals[name] += dt
-            self._counts[name] += 1
-            self._last[name] = dt
+            with self._lock:
+                self._totals[name] += dt
+                self._counts[name] += 1
+                self._last[name] = dt
 
     def snapshot(self) -> Dict[str, Dict[str, float]]:
-        return {
-            name: {
-                "count": self._counts[name],
-                "total_s": self._totals[name],
-                "mean_ms": 1e3 * self._totals[name] / max(self._counts[name], 1),
-                "last_ms": 1e3 * self._last.get(name, 0.0),
+        with self._lock:
+            return {
+                name: {
+                    "count": self._counts[name],
+                    "total_s": self._totals[name],
+                    "mean_ms": 1e3 * self._totals[name]
+                    / max(self._counts[name], 1),
+                    "last_ms": 1e3 * self._last.get(name, 0.0),
+                }
+                for name in self._totals
             }
-            for name in self._totals
-        }
 
     def reset(self) -> None:
-        self._totals.clear()
-        self._counts.clear()
-        self._last.clear()
+        with self._lock:
+            self._totals.clear()
+            self._counts.clear()
+            self._last.clear()
 
 
 @contextlib.contextmanager
