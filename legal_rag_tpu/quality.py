@@ -83,9 +83,19 @@ def run_quality_eval(
 ) -> Dict:
     """Run the suite; returns (and optionally writes) the report."""
     if engine is None:
+        import dataclasses
+
+        from legal_rag_tpu.config import DEFAULT_CONFIG, FusionConfig
         from legal_rag_tpu.retrieval.facade import LegalEngine
 
-        engine = LegalEngine(store_dir=store_dir)
+        # the gate evaluates the framework's best configuration: RRF
+        # lets keyword-only hits surface (the weighted parity mode
+        # cannot — the reference's blind spot), which matters whenever
+        # the encoder is untrained/offline
+        cfg = dataclasses.replace(
+            DEFAULT_CONFIG, fusion=FusionConfig(mode="rrf")
+        )
+        engine = LegalEngine(store_dir=store_dir, config=cfg)
 
     uses_llm = (
         getattr(engine.responder, "llm", None) is not None
