@@ -9,6 +9,8 @@ reference README.md:139-142) with one entry point:
     python -m legal_rag_tpu search  --store DIR --query "..." [--k 5]
     python -m legal_rag_tpu serve   --store DIR [--port 8000]
     python -m legal_rag_tpu eval    --store DIR [--report out.json]
+    python -m legal_rag_tpu finetune --store DIR --out tuned.npz
+    python -m legal_rag_tpu convert --checkpoint model.bin --out params.npz
 """
 
 from __future__ import annotations
