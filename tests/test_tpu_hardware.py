@@ -1,0 +1,102 @@
+"""Hardware-only regression checks — run intentionally on a real TPU:
+
+    LEGAL_RAG_TPU_TESTS=1 python -m pytest tests/test_tpu_hardware.py -q
+
+Skipped by default: the standard suite runs on the virtual CPU mesh
+(conftest forces jax to cpu), and these checks exist precisely because
+interpret-mode behavior DIFFERS from hardware (see each test).
+Run them in a separate process — conftest's platform override is
+process-wide, so this module re-selects the TPU via a subprocess.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("LEGAL_RAG_TPU_TESTS") != "1",
+    reason="hardware suite: set LEGAL_RAG_TPU_TESTS=1 on a TPU machine",
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_on_tpu(code: str) -> dict:
+    """Execute a snippet in a fresh process on the default (TPU)
+    platform; the snippet must print one JSON line."""
+    script = textwrap.dedent(code)
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # let the platform plugin win
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True, text=True, timeout=560, env=env,
+        cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def test_pallas_argmax_last_occurrence_assumption():
+    """The kernels avoid argmax because hardware resolves ties to the
+    LAST occurrence. If this ever changes (fixed upstream), this test
+    flags that the workaround can be revisited."""
+    result = _run_on_tpu("""
+        import json, numpy as np, jax, jax.numpy as jnp
+        from jax.experimental import pallas as pl
+        def k(x_ref, o_ref):
+            o_ref[0, :] = jnp.argmax(x_ref[:], axis=1).astype(jnp.int32)
+        x = np.zeros((8, 256), np.float32); x[:, 33] = 1.0; x[:, 200] = 1.0
+        out = pl.pallas_call(k, out_shape=jax.ShapeDtypeStruct((1, 8), jnp.int32))(jnp.asarray(x))
+        print(json.dumps({"argmax": int(np.asarray(out)[0][0])}))
+    """)
+    assert result["argmax"] in (33, 200)  # documents the behavior either way
+
+
+def test_fused_kernel_tie_break_on_hardware():
+    """Duplicate docs must order by ascending id on REAL hardware (the
+    regression the max/min-id selection fixed)."""
+    result = _run_on_tpu("""
+        import json, sys, numpy as np, jax.numpy as jnp
+        sys.path.insert(0, ".")
+        from legal_rag_tpu.ops.dense import dense_topk_pallas
+        docs = np.concatenate([np.ones((6, 8), np.float32),
+                               np.zeros((2, 8), np.float32)])
+        q = np.ones((1, 8), np.float32)
+        _, i = dense_topk_pallas(jnp.asarray(q), jnp.asarray(docs.T), 4,
+                                 block_n=128)
+        print(json.dumps({"ids": np.asarray(i)[0].tolist()}))
+    """)
+    assert result["ids"] == [0, 1, 2, 3]
+
+
+def test_sharded_search_end_to_end_on_chip():
+    """Full hybrid search on the real chip: recall vs exact golden."""
+    result = _run_on_tpu("""
+        import json, sys, numpy as np, jax, jax.numpy as jnp
+        sys.path.insert(0, ".")
+        from legal_rag_tpu.parallel.mesh import make_mesh
+        from legal_rag_tpu.parallel.sharded import ShardedIndex, sharded_hybrid_search
+        rng = np.random.default_rng(0)
+        n, d, q, k = 5000, 128, 16, 10
+        docs = rng.standard_normal((n, d)).astype(np.float32)
+        docs /= np.linalg.norm(docs, axis=1, keepdims=True)
+        qe = rng.standard_normal((q, d)).astype(np.float32)
+        mesh = make_mesh(1)
+        idx = ShardedIndex.from_embeddings(docs, mesh)
+        pi = jnp.full((q, 64), n, jnp.int32); pw = jnp.zeros((q, 64))
+        _, ids, _, _ = sharded_hybrid_search(
+            idx.docs_t, pi, pw, jnp.asarray(qe),
+            jnp.zeros((q,), jnp.float32),
+            mesh=mesh, k=k, c=2*k, n_docs=n, mode="weighted",
+            use_pallas=True)
+        gold = np.argsort(-(qe @ docs.T), axis=1)[:, :k]
+        ids = np.asarray(ids)
+        rec = float(np.mean([len(set(ids[i]) & set(gold[i]))/k
+                             for i in range(q)]))
+        print(json.dumps({"recall": rec}))
+    """)
+    assert result["recall"] >= 0.999
