@@ -121,6 +121,10 @@ def build_index(
             # must use the same precision the doc embeddings got
             "dtype": encoder.cfg.dtype,
             "seed": getattr(encoder, "seed", 0),
+            # the python and native-cpp WordPiece paths can diverge on
+            # non-Latin input; pin whichever built these embeddings so
+            # query encoding reproduces it
+            "tokenizer_impl": getattr(encoder, "tokenizer_impl", "python"),
         },
         corpus_hash=corpus_hash,
         encoder_params=encoder.params,

@@ -40,6 +40,7 @@ class SentenceEncoder:
         tokenizer: Optional[WordPieceTokenizer] = None,
         vocab_corpus: Optional[Sequence[str]] = None,
         seed: int = 0,
+        prefer_tokenizer: str = "auto",
     ):
         self.cfg = cfg or EncoderConfig()
         self.seed = seed
@@ -49,17 +50,31 @@ class SentenceEncoder:
             tokenizer = WordPieceTokenizer(vocab)
         self.tokenizer = tokenizer
         # native C++ tokenizer when built (parity-tested drop-in);
-        # falls back to the pure-Python path transparently
+        # falls back to the pure-Python path transparently. The two
+        # paths can diverge on exotic non-Latin input, so the CHOICE is
+        # recorded in the store manifest (tokenizer_impl) and stores
+        # pin it at query time via ``prefer_tokenizer``.
         self._fast_tokenizer = None
-        try:
-            from legal_rag_tpu import native_ext
+        if prefer_tokenizer not in ("auto", "python", "native-cpp"):
+            raise ValueError(f"unknown prefer_tokenizer {prefer_tokenizer!r}")
+        if prefer_tokenizer != "python":
+            try:
+                from legal_rag_tpu import native_ext
 
-            if native_ext.native_available():
-                self._fast_tokenizer = native_ext.NativeWordPiece(
-                    tokenizer.vocab
+                if native_ext.native_available():
+                    self._fast_tokenizer = native_ext.NativeWordPiece(
+                        tokenizer.vocab
+                    )
+            except Exception:  # noqa: BLE001 — accelerator only
+                self._fast_tokenizer = None
+            if prefer_tokenizer == "native-cpp" and self._fast_tokenizer is None:
+                import logging
+
+                logging.getLogger("legal_rag_tpu.encoder").warning(
+                    "store was built with the native-cpp tokenizer but it "
+                    "is unavailable here; falling back to pure Python "
+                    "(tokenizations may differ on non-Latin input)"
                 )
-        except Exception:  # noqa: BLE001 — accelerator only
-            self._fast_tokenizer = None
         if params is None:
             # vocab may be smaller than cfg.vocab_size; size the table
             # to the tokenizer so ids always index in range.
@@ -71,6 +86,13 @@ class SentenceEncoder:
             params = init_minilm_params(cfg_eff, seed=seed)
             self.cfg = cfg_eff
         self.params = params
+
+    @property
+    def tokenizer_impl(self) -> str:
+        """Which tokenizer implementation encode() uses — recorded in
+        the store manifest so query-side tokenization always matches
+        the one that embedded the documents."""
+        return "native-cpp" if self._fast_tokenizer is not None else "python"
 
     def encode(
         self,

@@ -25,7 +25,7 @@ golden, which is the same math FAISS flat performs):
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 import jax
@@ -137,7 +137,7 @@ def _merge_topk(run_s, run_i, blk_s, blk_i, k):
 
 
 def _fused_topk_kernel(
-    q_ref, d_ref, out_s_ref, out_i_ref, s_sc, i_sc,
+    nv_ref, q_ref, d_ref, out_s_ref, out_i_ref, s_sc, i_sc,
     *, k, block_n, n_real, precision,
 ):
     j = pl.program_id(1)
@@ -155,7 +155,12 @@ def _fused_topk_kernel(
     )
     base = j * block_n
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + base
-    s = jnp.where(col < n_real, s, _NEG_F32)  # mask padding columns
+    # mask padding columns INSIDE the selection: both the static width
+    # padding (n_real) and the caller's dynamic valid count (nv_ref,
+    # e.g. global-padding zero docs on a mesh's last shard, whose 0.0
+    # scores would otherwise evict real negative-cosine candidates)
+    limit = jnp.minimum(n_real, nv_ref[0])
+    s = jnp.where(col < limit, s, _NEG_F32)
 
     blk_s, blk_i = _select_topk_block(s, base, k)
     new_s, new_i = _merge_topk(s_sc[:], i_sc[:], blk_s, blk_i, k)
@@ -186,6 +191,7 @@ def dense_topk_pallas(
     docs_t: jax.Array,
     k: int,
     *,
+    n_valid: "Optional[jax.Array]" = None,
     block_n: int = 1024,
     block_q: int = 8,
     interpret: bool = False,
@@ -199,6 +205,10 @@ def dense_topk_pallas(
                docs, so each grid step loads a contiguous ``[D, BN]``
                tile straight into the MXU's RHS).
       k:       neighbours per query.
+      n_valid: optional dynamic scalar — only columns ``< n_valid``
+               compete in selection (callers embedding this shard in a
+               mesh pass their slice of the global doc count, so zero
+               pad docs can't evict real negative-cosine candidates).
       block_n/block_q: tile sizes; block_n a multiple of 128,
                block_q a multiple of 8 (fp32 sublane tile).
       interpret: run in interpreter mode (CPU tests).
@@ -218,6 +228,9 @@ def dense_topk_pallas(
     queries = _pad_to(queries, qp, 0)
     docs_t = _pad_to(docs_t, np_, 1)
 
+    nv = jnp.reshape(
+        jnp.asarray(n if n_valid is None else n_valid, jnp.int32), (1,)
+    )
     grid = (qp // block_q, np_ // block_n)
     kernel = functools.partial(
         _fused_topk_kernel, k=k, block_n=block_n, n_real=n,
@@ -227,6 +240,7 @@ def dense_topk_pallas(
         kernel,
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((block_q, d), lambda i, j: (i, 0)),
             pl.BlockSpec((d, block_n), lambda i, j: (0, j)),
         ],
@@ -243,7 +257,7 @@ def dense_topk_pallas(
             pltpu.VMEM((block_q, k), jnp.int32),
         ],
         interpret=interpret,
-    )(queries, docs_t)
+    )(nv, queries, docs_t)
     return out_s[:q], out_i[:q]
 
 

@@ -19,7 +19,7 @@ Both run fully on device with static shapes and are jit/shard-safe.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -58,12 +58,13 @@ def weighted_fusion(
     return top_f, ids.astype(jnp.int32), sem, bmn
 
 
-@functools.partial(jax.jit, static_argnames=("k", "rrf_k"))
+@functools.partial(jax.jit, static_argnames=("k", "rrf_k", "n_valid"))
 def rrf_fusion(
     dense_ids: jax.Array,      # [Q, C] dense candidates, rank order
     sparse_ids: jax.Array,     # [Q, C] sparse candidates, rank order
     k: int,
     rrf_k: int = 60,
+    n_valid: Optional[int] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Reciprocal Rank Fusion of two ranked id lists, on device.
 
@@ -71,6 +72,11 @@ def rrf_fusion(
     Duplicate ids across lists merge by sorting the concatenated ids
     and segment-summing adjacent equal ids — no host round-trip, no
     dynamic shapes. Returns ``(rrf_scores [Q,k], ids [Q,k])``.
+
+    ``n_valid``: ids outside ``[0, n_valid)`` are padding (short
+    candidate lists, corpus smaller than C) — they earn zero RRF mass
+    and sort behind every real doc, so a query never loses a real
+    tail doc to a pad slot.
     """
     q, c = dense_ids.shape
     ranks = jnp.arange(1, c + 1, dtype=jnp.float32)
@@ -80,6 +86,9 @@ def rrf_fusion(
     all_scores = jnp.concatenate(
         [jnp.broadcast_to(contrib, (q, c))] * 2, axis=1
     )
+    if n_valid is not None:
+        invalid = (all_ids < 0) | (all_ids >= n_valid)
+        all_scores = jnp.where(invalid, 0.0, all_scores)
 
     # Sort by id so duplicates are adjacent.
     order = jnp.argsort(all_ids, axis=1)
@@ -100,6 +109,10 @@ def rrf_fusion(
         same_right, jnp.roll(ssc, -1, axis=1), 0.0
     )
     merged = jnp.where(same_left, -jnp.inf, merged)    # drop duplicate slot
+    if n_valid is not None:
+        merged = jnp.where(
+            (sid < 0) | (sid >= n_valid), -jnp.inf, merged
+        )
 
     top_s, pos = jax.lax.top_k(merged, k)
     ids = jnp.take_along_axis(sid, pos, axis=1)

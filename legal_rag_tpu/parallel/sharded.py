@@ -80,11 +80,15 @@ def _local_dense_topc(
     if use_pallas and docs_t_local.shape[1] > LARGE_N_THRESHOLD:
         use_pallas = False
     if use_pallas:
+        # the shard's true valid column count: pad docs (zero vectors
+        # on the last shard) must lose inside the kernel's selection,
+        # not just be masked afterwards — their 0.0 scores would evict
+        # real negative-cosine candidates from the local top-C
+        n_valid = jnp.clip(n_docs - base, 0, docs_t_local.shape[1])
         s, i = dense_topk_pallas(
-            q, docs_t_local, c, precision=precision,
+            q, docs_t_local, c, n_valid=n_valid, precision=precision,
             block_n=block_n, block_q=block_q,
         )
-        # re-mask global padding (pallas masked only local range)
         gids = i + base
         s = jnp.where(gids < n_docs, s, -jnp.inf)
         return s, gids
@@ -119,12 +123,16 @@ def _topk_padded(scores, c):
 def _bm25_segment_stats(pids, pw, n_docs):
     """Per-doc BM25 totals from the postings alone — no [Q, N] buffer.
 
-    Sorts postings by doc id, then segment-sums with a cumsum +
-    boundary-cummax scan (weights are non-negative, so the running
-    cumsum is monotone and ``cummax`` of boundary cumsums recovers each
-    segment's starting offset). Everything is O(P) replicated compute:
-    the scalable sparse path for shards beyond ~64k docs, where a dense
-    accumulator would cost a quarter-gigabyte per 64-query batch.
+    Sorts postings by doc id, then segment-sums via cumsum differences:
+    each segment's total is its end-position cumsum minus the cumsum at
+    the previous segment's end. The previous end is located by a
+    ``cummax`` over end *positions* (integers, monotone by
+    construction), so this is exact for ANY weight sign — BM25Okapi's
+    ε-floored IDF can go negative on degenerate corpora where the mean
+    raw IDF is negative, and a value-cummax trick would silently
+    miscount there. Everything is O(P) replicated compute: the scalable
+    sparse path for shards beyond ~64k docs, where a dense accumulator
+    would cost a quarter-gigabyte per 64-query batch.
 
     Returns (sid, is_end, totals, global_max):
       sid [Q, P] sorted ids; is_end marks each doc's last posting;
@@ -139,11 +147,17 @@ def _bm25_segment_stats(pids, pw, n_docs):
         [sid[:, 1:], jnp.full((q, 1), -2, dtype=sid.dtype)], axis=1
     )
     is_end = sid != nxt
-    end_cs = jnp.where(is_end, cs, 0.0)
-    prev_end = jnp.concatenate(
-        [jnp.zeros((q, 1), dtype=cs.dtype),
-         jax.lax.cummax(end_cs, axis=1)[:, :-1]],
+    pos = jax.lax.broadcasted_iota(jnp.int32, sid.shape, 1)
+    end_pos = jnp.where(is_end, pos, -1)
+    last_end = jnp.concatenate(
+        [jnp.full((q, 1), -1, dtype=jnp.int32),
+         jax.lax.cummax(end_pos, axis=1)[:, :-1]],
         axis=1,
+    )
+    prev_end = jnp.where(
+        last_end >= 0,
+        jnp.take_along_axis(cs, jnp.maximum(last_end, 0), axis=1),
+        0.0,
     )
     totals = cs - prev_end
     valid = is_end & (sid >= 0) & (sid < n_docs)
@@ -258,9 +272,12 @@ def sharded_hybrid_search(
         top_ds, pos = jax.lax.top_k(all_ds, c)               # global dense top-C
         top_di = jnp.take_along_axis(all_di, pos, axis=1)
         if use_segsum:
-            # BM25 at the global candidates straight from segment sums
+            # BM25 at the global candidates straight from segment sums.
+            # Each doc has exactly one valid end position, so a masked
+            # sum extracts its total exactly (a max would clamp
+            # negative totals to 0 — possible under ε-floored IDF).
             sel = (sid[:, None, :] == top_di[:, :, None]) & s_valid[:, None, :]
-            top_dbm = jnp.max(
+            top_dbm = jnp.sum(
                 jnp.where(sel, s_totals[:, None, :], 0.0), axis=2
             )
         else:
@@ -293,17 +310,18 @@ def sharded_hybrid_search(
                 top_ss, spos = jax.lax.top_k(all_ss, c)
                 top_si = jnp.take_along_axis(all_si, spos, axis=1)
 
-            # invalid slots (pad -1 or global-padding docs) must not
-            # accumulate RRF mass: remap each to a unique out-of-range
-            # id so dedupe-by-sort never merges them, then the engine
-            # filters ids >= n_docs
+            # invalid slots (pad -1 or global-padding docs): remap each
+            # to a unique out-of-range id so dedupe-by-sort never merges
+            # them; rrf_fusion's n_valid then zeroes their rank mass and
+            # sinks them to -inf, so real tail docs always win over pads
             def sanitize(ids_, offset):
                 slot = jax.lax.broadcasted_iota(jnp.int32, ids_.shape, 1)
                 bad = (ids_ < 0) | (ids_ >= n_docs)
                 return jnp.where(bad, n_docs + offset + slot, ids_)
 
             f, ids = rrf_fusion(
-                sanitize(top_di, 0), sanitize(top_si, c), k, rrf_k=rrf_k
+                sanitize(top_di, 0), sanitize(top_si, c), k,
+                rrf_k=rrf_k, n_valid=n_docs,
             )
             sem = jnp.zeros_like(f)
             key = jnp.zeros_like(f)

@@ -79,6 +79,9 @@ class RetrievalEngine:
             if store.encoder_info:
                 info = dict(store.encoder_info)
                 seed = info.pop("seed", 0)
+                # pin the tokenizer implementation that embedded the
+                # docs (python vs native-cpp diverge on non-Latin text)
+                prefer_tok = info.pop("tokenizer_impl", "auto")
                 enc_cfg = dataclasses.replace(
                     enc_cfg, **{
                         k: v for k, v in info.items()
@@ -87,6 +90,7 @@ class RetrievalEngine:
                 )
             else:
                 seed = 0
+                prefer_tok = "auto"
             # stored weights win over seed-reconstruction: a fine-tuned
             # or converted encoder is not derivable from (seed, config)
             params = store.encoder_params
@@ -94,7 +98,7 @@ class RetrievalEngine:
                 tokenizer = WordPieceTokenizer(store.wp_vocab)
                 encoder = SentenceEncoder(
                     cfg=enc_cfg, tokenizer=tokenizer, seed=seed,
-                    params=params,
+                    params=params, prefer_tokenizer=prefer_tok,
                 )
             else:
                 encoder = SentenceEncoder(
@@ -102,6 +106,7 @@ class RetrievalEngine:
                     vocab_corpus=[c["text"] for c in store.chunks],
                     seed=seed,
                     params=params,
+                    prefer_tokenizer=prefer_tok,
                 )
         if encoder.cfg.hidden != store.dim:
             raise ValueError(

@@ -116,6 +116,10 @@ def _response_payload(result: Dict[str, Any]) -> Dict[str, Any]:
         "metadata": result.get("intent", {}),
         "context_used": result.get("context_used", []),
         "adapted": result.get("adapted"),
+        # additive over the reference's LegalResponseModel (which drops
+        # it): a legal-advice API must surface the non-advisory
+        # disclaimer the responder generates and the quality gate pins
+        "disclaimer": raw.get("disclaimer", ""),
     }
 
 

@@ -163,3 +163,27 @@ def test_twophase_duplicate_tie_break():
         jnp.asarray(queries), jnp.asarray(docs.T), 5, interpret=True,
     )
     assert list(np.asarray(i)[0][:3]) == [50, 700, 1500]
+
+def test_pallas_dynamic_n_valid():
+    """n_valid (a traced scalar) must exclude trailing columns from the
+    in-kernel selection: zero pad docs cannot evict negative-score
+    candidates."""
+    rng = np.random.default_rng(5)
+    d, n_real, n_padded = 32, 13, 40
+    docs_t = np.zeros((d, n_padded), dtype=np.float32)
+    real = -np.abs(rng.standard_normal((d, n_real))).astype(np.float32)
+    docs_t[:, :n_real] = real / np.linalg.norm(real, axis=0, keepdims=True)
+    q = np.abs(rng.standard_normal((4, d))).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    s, ids = dense_topk_pallas(
+        jnp.asarray(q), jnp.asarray(docs_t), 5,
+        n_valid=jnp.asarray(n_real, jnp.int32),
+        block_n=128, interpret=True,
+    )
+    ids = np.asarray(ids)
+    assert (ids < n_real).all()
+    golden = np.argsort(
+        -(q.astype(np.float64) @ docs_t[:, :n_real].astype(np.float64)),
+        axis=1, kind="stable",
+    )[:, :5]
+    np.testing.assert_array_equal(ids, golden)

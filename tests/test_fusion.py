@@ -109,3 +109,38 @@ def test_rrf_surfaces_sparse_only_hits():
     sparse_ids = jnp.asarray([[99, 10, 11]], dtype=jnp.int32)
     s, ids = rrf_fusion(dense_ids, sparse_ids, 4, 60)
     assert 99 in np.asarray(ids)[0]
+
+def test_rrf_pad_slots_earn_no_mass():
+    """Candidate lists shorter than C are padded with out-of-range ids;
+    with n_valid set they must contribute zero RRF mass and never
+    displace a real tail doc (regression: ADVICE r1)."""
+    # corpus n=4; dense list has 2 real + 2 pad, sparse likewise.
+    # doc 3 appears only at rank 4 in sparse; without masking, pads at
+    # ranks 3-4 of dense would outrank it.
+    n = 4
+    dense_ids = jnp.asarray([[0, 1, 100, 101]], dtype=jnp.int32)
+    sparse_ids = jnp.asarray([[1, 2, 102, 3]], dtype=jnp.int32)
+    s, ids = rrf_fusion(dense_ids, sparse_ids, 4, 60, n_valid=n)
+    ids = np.asarray(ids)[0]
+    s = np.asarray(s)[0]
+    # all four REAL docs surface, every pad excluded
+    assert set(ids.tolist()) == {0, 1, 2, 3}
+    assert np.all(np.isfinite(s))
+
+
+def test_rrf_n_valid_preserves_real_ranking():
+    """n_valid must not change scores of real docs."""
+    rng = np.random.default_rng(11)
+    q, c, n, k = 3, 8, 50, 5
+    dense_ids = np.stack(
+        [rng.choice(n, c, replace=False) for _ in range(q)]
+    ).astype(np.int32)
+    sparse_ids = np.stack(
+        [rng.choice(n, c, replace=False) for _ in range(q)]
+    ).astype(np.int32)
+    s0, i0 = rrf_fusion(jnp.asarray(dense_ids), jnp.asarray(sparse_ids), k, 60)
+    s1, i1 = rrf_fusion(
+        jnp.asarray(dense_ids), jnp.asarray(sparse_ids), k, 60, n_valid=n
+    )
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), rtol=1e-6)

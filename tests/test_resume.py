@@ -83,3 +83,21 @@ def test_reloaded_store_encodes_queries_identically(tmp_path):
     np.testing.assert_allclose(
         engine.encoder.encode([q]), enc.encode([q]), atol=1e-6,
     )
+
+def test_manifest_records_tokenizer_impl(tmp_path):
+    """The store pins which WordPiece implementation (python vs
+    native-cpp) embedded the docs, and the engine reproduces it at
+    query time (ADVICE r1: the two can diverge on non-Latin input)."""
+    from legal_rag_tpu.index.store import VectorStore
+    from legal_rag_tpu.retrieval.engine import RetrievalEngine
+
+    store = build_index(
+        _chunks(["alpha beta", "gamma delta"]), config=CFG,
+        store_dir=tmp_path,
+    )
+    impl = store.manifest["encoder"]["tokenizer_impl"]
+    assert impl in ("python", "native-cpp")
+
+    reloaded = VectorStore.load(tmp_path)
+    engine = RetrievalEngine(reloaded, config=CFG)
+    assert engine.encoder.tokenizer_impl == impl

@@ -129,6 +129,9 @@ def test_query_roundtrip(server_port):
     assert body["immediate_action_plan"]
     assert body["sources"] and body["sources"][0]["citation"]
     assert body["metadata"]["user_context"] == "victim_distress"
+    # API clients of a legal-advice service must see the non-advisory
+    # disclaimer (ADVICE r1: the reference's response model drops it)
+    assert body["disclaimer"]
     # stage metrics now visible in health
     status, health = _get(server_port, "/health")
     assert "device_search" in health["stage_latency"]

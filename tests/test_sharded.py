@@ -156,3 +156,70 @@ def test_segsum_sparse_path_matches_scatter(setup, mode):
     np.testing.assert_allclose(np.asarray(f_sc), np.asarray(f_sg), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(k_sc), np.asarray(k_sg),
                                rtol=1e-5, atol=1e-6)
+
+@pytest.mark.parametrize("mode", ["weighted", "rrf"])
+def test_segsum_correct_with_negative_weights(setup, mode):
+    """BM25Okapi's ε-floored IDF can go NEGATIVE on degenerate corpora
+    (mean raw IDF < 0); the segment-sum path must still agree with the
+    scatter accumulator (regression: the old value-cummax trick assumed
+    non-negative weights)."""
+    docs, q_emb, bm25, post_ids, post_w, _ = setup
+    rng = np.random.default_rng(7)
+    neg_w = post_w.copy()
+    flip = rng.random(neg_w.shape) < 0.4
+    neg_w[flip] *= -1.0
+    w = np.full(4, 0.5, dtype=np.float32)
+    mesh = make_mesh(4)
+    index = ShardedIndex.from_embeddings(docs, mesh)
+    args = (jnp.asarray(post_ids), jnp.asarray(neg_w),
+            jnp.asarray(q_emb), jnp.asarray(w))
+    kw = dict(mesh=mesh, k=5, c=10, n_docs=docs.shape[0], mode=mode)
+    f_sc, i_sc, _, k_sc = sharded_hybrid_search(
+        index.docs_t, *args, sparse_mode="scatter", **kw)
+    f_sg, i_sg, _, k_sg = sharded_hybrid_search(
+        index.docs_t, *args, sparse_mode="segsum", **kw)
+    np.testing.assert_array_equal(np.asarray(i_sc), np.asarray(i_sg))
+    np.testing.assert_allclose(np.asarray(f_sc), np.asarray(f_sg),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(k_sc), np.asarray(k_sg),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_pad_docs_cannot_evict_negative_cosine(setup):
+    """Global zero-padding docs on the last shard score 0.0; the kernel
+    must exclude them from its in-kernel top-C so all-negative-cosine
+    corpora still return real docs (regression: post-hoc masking)."""
+    rng = np.random.default_rng(3)
+    n, d = 21, 64  # 21 docs over 2 shards -> last shard has pad columns
+    docs = -np.abs(rng.standard_normal((n, d))).astype(np.float32)
+    docs /= np.linalg.norm(docs, axis=1, keepdims=True)
+    q_emb = np.abs(rng.standard_normal((4, d))).astype(np.float32)
+    q_emb /= np.linalg.norm(q_emb, axis=1, keepdims=True)
+    # all true cosines are negative -> pad zeros would win unmasked
+    post_ids = np.full((4, 8), n, dtype=np.int32)
+    post_w = np.zeros((4, 8), dtype=np.float32)
+    w = np.zeros(4, dtype=np.float32)  # dense-only fusion
+    mesh = make_mesh(2)
+    index = ShardedIndex.from_embeddings(docs, mesh)
+
+    import legal_rag_tpu.parallel.sharded as sh
+    import legal_rag_tpu.ops.dense as dense_mod
+    import functools
+
+    orig = dense_mod.dense_topk_pallas
+    try:
+        sh.dense_topk_pallas = functools.partial(orig, interpret=True)
+        f, ids, sem, _ = sharded_hybrid_search(
+            index.docs_t, jnp.asarray(post_ids), jnp.asarray(post_w),
+            jnp.asarray(q_emb), jnp.asarray(w),
+            mesh=mesh, k=5, c=8, n_docs=n, mode="weighted",
+            use_pallas=True,
+        )
+    finally:
+        sh.dense_topk_pallas = orig
+    ids = np.asarray(ids)
+    assert (ids >= 0).all() and (ids < n).all()
+    # exact golden: all docs valid, c=8 per shard covers global top-5
+    dense = q_emb.astype(np.float64) @ docs.T.astype(np.float64)
+    golden = np.argsort(-dense, axis=1, kind="stable")[:, :5]
+    np.testing.assert_array_equal(ids, golden)
