@@ -103,6 +103,42 @@ _SUB_SECTION = re.compile(r"^(?:\*\*|\s)*\((\d+[a-z]?)\)(?:\*\*|\s)*")
 _ILLUSTRATION = re.compile(r"Illustration(s)?(\.|:)?", re.I)
 _TABLE_SEPARATOR = re.compile(r"^[\|\-\s]+$")
 
+# Addressable-block boundary inside a General-SOP topic: an UNNUMBERED
+# "### Heading" line (numbered "### 1. ..." subsections are enumeration
+# items of their parent and stay inside its block; "####" deeper
+# headings also stay inside). This is the granularity the ghost
+# source-fetcher spec addresses — e.g. GSOP_004 is the
+# "FIR Issuance & Jurisdiction" block of the RECEIPT OF COMPLAINT
+# topic (reference tests/test_source_fetcher.py:20-27,81-88).
+_SOP_BLOCK_BOUNDARY = re.compile(r"^###\s+(?!#|\d+\.)\s*(.+?)\s*$")
+
+
+def split_sop_blocks(body: str):
+    """Split a General-SOP chunk body into its addressable blocks.
+
+    Returns ``[(heading_or_None, block_text), ...]`` in order; the text
+    before the first unnumbered ``###`` heading (the topic intro) is
+    block 0 with heading ``None``. Headings keep their title text
+    (markdown markers stripped) for procedural-stage metadata.
+    """
+    blocks = []
+    cur_head = None
+    cur_lines: List[str] = []
+    for line in body.split("\n"):
+        m = _SOP_BLOCK_BOUNDARY.match(line.strip())
+        if m:
+            text = "\n".join(cur_lines).strip()
+            if text or cur_head is not None:
+                blocks.append((cur_head, text))
+            cur_head = m.group(1).strip().strip("*").strip()
+            cur_lines = [line]
+            continue
+        cur_lines.append(line)
+    text = "\n".join(cur_lines).strip()
+    if text or cur_head is not None:
+        blocks.append((cur_head, text))
+    return blocks or [(None, body.strip())]
+
 
 class LegalMarkdownParser:
     """Consumes markdown line streams, emits :class:`LegalChunk` lists."""
@@ -112,6 +148,9 @@ class LegalMarkdownParser:
         self.chunks: List[LegalChunk] = []
         self._buffer: List[str] = []
         self._topic_ordinal = 0
+        # next free General-SOP block id; each chunk consumes one id per
+        # addressable block it contains (see split_sop_blocks)
+        self._gsop_next = 0
 
     # -- chunk emission ----------------------------------------------------
 
@@ -173,9 +212,18 @@ class LegalMarkdownParser:
             return "clause"
         return "general"
 
-    def _section_id(self) -> Optional[str]:
+    def _section_id(self, body: str) -> Optional[str]:
         """Stable addressable ID (framework addition, spec'd by the
-        reference's ghost source-fetcher tests — SURVEY.md §2.4)."""
+        reference's ghost source-fetcher tests — SURVEY.md §2.4).
+
+        General-SOP ids are 0-based over addressable BLOCKS, not
+        topics: a chunk's id is its first block's, and the counter
+        advances by the chunk's block count, so the source fetcher can
+        recover every block id from (chunk id, block index). This is
+        the numbering under which the reference spec's GSOP_003 /
+        GSOP_004 land on the Classification-of-Content and
+        FIR-Issuance blocks (tests/test_source_fetcher.py:20-27,81-88).
+        """
         ctx = self.ctx
         if ctx.law in ("BNS", "BNSS", "BSA") and ctx.section:
             return f"{ctx.law}_{ctx.section}"
@@ -186,8 +234,9 @@ class LegalMarkdownParser:
                 return "NALSA_SCHEDULE"  # compensation schedule rows
         if ctx.law == "SOP":
             if ctx.source_file and ctx.source_file.startswith("General"):
-                if self._topic_ordinal:
-                    return f"GSOP_{self._topic_ordinal:03d}"
+                sid = f"GSOP_{self._gsop_next:03d}"
+                self._gsop_next += len(split_sop_blocks(body))
+                return sid
             elif ctx.step:
                 digits = re.sub(r"\D", "", ctx.step)
                 if digits:
@@ -209,7 +258,7 @@ class LegalMarkdownParser:
                 text=f"{header}\n\n{body}",
                 metadata=meta,
                 canonical_header=header,
-                section_id=self._section_id(),
+                section_id=self._section_id(body),
                 topic_ordinal=self._topic_ordinal or None,
             )
         )
@@ -343,6 +392,7 @@ class LegalMarkdownParser:
         path = Path(path)
         self.ctx = UnitContext(source_file=path.name)
         self._topic_ordinal = 0
+        self._gsop_next = 0
         for key, value in (overrides or {}).items():
             setattr(self.ctx, key, value)
         with open(path, "r", encoding="utf-8") as f:

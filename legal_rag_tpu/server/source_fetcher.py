@@ -51,16 +51,43 @@ def _body(chunk_text: str, header: str) -> str:
     return chunk_text
 
 
+_GSOP_ID = re.compile(r"^GSOP_(\d+)$")
+
+
 class SourceCatalog:
-    """Groups ingest chunks into addressable verbatim units."""
+    """Groups ingest chunks into addressable verbatim units.
+
+    General-SOP chunks are registered at BLOCK granularity: the ingest
+    parser assigns each chunk the id of its first addressable block and
+    reserves one id per block (``split_sop_blocks``), so the catalog
+    recovers every block id as ``base + index``. Block text is the
+    chunk body verbatim — original markdown (####, bullets, bold)
+    included — matching the ghost spec's verbatim-content requirement
+    (reference tests/test_source_fetcher.py:81-88)."""
 
     def __init__(self, chunks: Sequence[Dict]):
+        from legal_rag_tpu.ingest.parser import split_sop_blocks
+
         self._units: Dict[str, Dict] = {}
         for chunk in chunks:
             sid = chunk.get("section_id")
             if not sid:
                 continue
             meta = chunk.get("metadata", {})
+            body = _body(chunk["text"], chunk.get("canonical_header", ""))
+            m = _GSOP_ID.match(sid)
+            if m and str(meta.get("source_file") or "").startswith("General"):
+                base = int(m.group(1))
+                for i, (head, text) in enumerate(split_sop_blocks(body)):
+                    self._units[f"GSOP_{base + i:03d}"] = {
+                        "bodies": [text],
+                        "law": meta.get("law"),
+                        "chapter": meta.get("chapter"),
+                        "block_title": head,
+                        "chapter_title": meta.get("chapter_title"),
+                        "section_title": meta.get("section_title"),
+                    }
+                continue
             unit = self._units.setdefault(
                 sid,
                 {
@@ -71,9 +98,7 @@ class SourceCatalog:
                     "section_title": meta.get("section_title"),
                 },
             )
-            unit["bodies"].append(
-                _body(chunk["text"], chunk.get("canonical_header", ""))
-            )
+            unit["bodies"].append(body)
 
     def lookup(self, sid: str) -> Optional[Dict]:
         return self._units.get(sid)
@@ -160,19 +185,26 @@ def normalize_section_id(source_type: SourceType, raw: str) -> Optional[str]:
 
 
 def _compute_highlights(content: str, snippet: Optional[str]) -> List[Highlight]:
+    """Exact-first offset computation: the raw snippet (minus a
+    truncation ``...`` suffix) is searched verbatim BEFORE any
+    whitespace stripping, so offsets are exact even when the snippet
+    starts or ends mid-whitespace (reference
+    tests/test_source_fetcher.py:110-151 pins start==50/end==150 for
+    ``content[50:150]``; a strip-first search was off by one)."""
     if not snippet:
         return []
-    probe = snippet.strip()
-    if probe.endswith("..."):
-        probe = probe[:-3].rstrip()
-    if not probe:
+    probe = snippet
+    if probe.rstrip().endswith("..."):
+        probe = probe.rstrip()[:-3]
+    if not probe.strip():
         return []
-    idx = content.find(probe)
-    if idx < 0:
-        idx = content.lower().find(probe.lower())
-    if idx < 0:
-        return []
-    return [Highlight(start=idx, end=idx + len(probe))]
+    for candidate in (probe, probe.strip()):
+        idx = content.find(candidate)
+        if idx < 0:
+            idx = content.lower().find(candidate.lower())
+        if idx >= 0:
+            return [Highlight(start=idx, end=idx + len(candidate))]
+    return []
 
 
 def fetch_source_content(
@@ -195,7 +227,12 @@ def fetch_source_content(
 
     metadata: Dict[str, object] = {"law": unit.get("law")}
     if source_type in (SourceType.GENERAL_SOP, SourceType.RAPE_SOP):
-        title = unit.get("chapter_title") or unit.get("section_title") or ""
+        title = (
+            unit.get("block_title")
+            or unit.get("chapter_title")
+            or unit.get("section_title")
+            or ""
+        )
         metadata["title"] = title
         metadata["procedural_stage"] = _procedural_stage(title)
     else:

@@ -463,18 +463,20 @@ def test_normalize_section_id_forms():
 
 
 def test_fetch_gsop_block(catalog):
+    # GSOP_004 = the FIR Issuance & Jurisdiction block (the id the
+    # reference spec pins, tests/test_source_fetcher.py:20-27)
     out = fetch_source_content(
-        SourceType.GENERAL_SOP, "GSOP_005", catalog=catalog
+        SourceType.GENERAL_SOP, "GSOP_004", catalog=catalog
     )
     assert out is not None
-    assert out.section_id == "GSOP_005"
+    assert out.section_id == "GSOP_004"
     assert "FIR" in out.content
     assert out.metadata.get("procedural_stage") is not None
     assert out.highlights == []
     # case-insensitive
     assert fetch_source_content(
-        SourceType.GENERAL_SOP, "gsop_005", catalog=catalog
-    ).section_id == "GSOP_005"
+        SourceType.GENERAL_SOP, "gsop_004", catalog=catalog
+    ).section_id == "GSOP_004"
 
 
 def test_fetch_bnss_section_with_metadata(catalog):
@@ -496,19 +498,20 @@ def test_fetch_nonexistent_and_empty(catalog):
 
 def test_fetch_verbatim_not_summarized(catalog):
     out = fetch_source_content(
-        SourceType.GENERAL_SOP, "GSOP_001", catalog=catalog
+        SourceType.GENERAL_SOP, "GSOP_003", catalog=catalog
     )
-    # verbatim markdown survives (bullets/bold from the SOP doc)
-    assert "**" in out.content or "-" in out.content
+    # verbatim markdown survives (#### sub-headings / bullets from the
+    # SOP doc; reference tests/test_source_fetcher.py:81-88)
+    assert "####" in out.content or "•" in out.content
 
 
 def test_highlight_offsets(catalog):
     base = fetch_source_content(
-        SourceType.GENERAL_SOP, "GSOP_005", catalog=catalog
+        SourceType.GENERAL_SOP, "GSOP_004", catalog=catalog
     )
     snippet = base.content[50:150]
     out = fetch_source_content(
-        SourceType.GENERAL_SOP, "GSOP_005",
+        SourceType.GENERAL_SOP, "GSOP_004",
         highlight_snippet=snippet, catalog=catalog,
     )
     assert out.highlights and out.highlights[0].start == 50
@@ -517,14 +520,14 @@ def test_highlight_offsets(catalog):
 
     # truncated snippet ("...")
     out = fetch_source_content(
-        SourceType.GENERAL_SOP, "GSOP_005",
+        SourceType.GENERAL_SOP, "GSOP_004",
         highlight_snippet=base.content[100:200] + "...", catalog=catalog,
     )
     assert out.highlights and out.highlights[0].start == 100
 
     # non-matching snippet
     out = fetch_source_content(
-        SourceType.GENERAL_SOP, "GSOP_005",
+        SourceType.GENERAL_SOP, "GSOP_004",
         highlight_snippet="definitely not present xyz123", catalog=catalog,
     )
     assert out.highlights == []
