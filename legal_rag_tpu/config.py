@@ -18,10 +18,12 @@ class DenseConfig:
     """Dense (semantic) search configuration."""
 
     dim: int = 384                  # MiniLM embedding dim
-    dtype: str = "float32"          # document matrix dtype: float32 | bfloat16
+    dtype: str = "float32"          # doc matrix dtype: float32 | bfloat16 | int8
     block_n: int = 1024             # Pallas: docs per grid step
     block_q: int = 8                # Pallas: queries per grid step (fp32 sublane)
     use_pallas: bool = True         # fused kernel vs plain XLA dot+top_k
+    int8_rescore: bool = True       # exact fp32 rescore of int8 candidates
+    int8_oversample: int = 4        # candidate oversampling factor for rescore
 
 
 @dataclasses.dataclass(frozen=True)

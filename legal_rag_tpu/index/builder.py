@@ -40,6 +40,8 @@ def build_index(
     encoder: Optional[SentenceEncoder] = None,
     config: RetrievalConfig = DEFAULT_CONFIG,
     store_dir=None,
+    finetune_steps: int = 0,
+    log_fn=None,
 ) -> VectorStore:
     """Build a full index.
 
@@ -48,6 +50,13 @@ def build_index(
         a path to a chunks json artifact, or a chunk sequence.
       encoder: sentence encoder; defaults to a corpus-vocab encoder.
       store_dir: if given, artifacts are saved there.
+      finetune_steps: when > 0, contrastively fine-tune the encoder on
+        corpus span pairs BEFORE encoding (models/finetune.py), so the
+        dense side of hybrid search is domain-adapted rather than
+        random-init — measured to lift dense recall materially
+        (see BASELINE.md retrieval-quality table). Deterministic given
+        (encoder weights, corpus, steps), and fingerprinted into the
+        resume hash.
     """
     if isinstance(source, (str, Path)):
         path = Path(source)
@@ -73,6 +82,9 @@ def build_index(
         h.update(t.encode("utf-8"))
         h.update(b"\x00")
     h.update(repr((config.encoder, config.bm25)).encode())
+    if finetune_steps:
+        # (omitted when 0 so pre-existing store hashes stay valid)
+        h.update(f"finetune:{finetune_steps}".encode())
     if encoder is not None:
         # a caller-supplied encoder (fine-tuned / converted weights)
         # must invalidate stores built by a different one — fingerprint
@@ -97,6 +109,22 @@ def build_index(
                 pass
     if encoder is None:
         encoder = SentenceEncoder(cfg=config.encoder, vocab_corpus=texts)
+    if finetune_steps > 0:
+        from legal_rag_tpu.models.finetune import finetune_encoder
+        from legal_rag_tpu.parallel.mesh import make_mesh
+
+        encoder, losses = finetune_encoder(
+            encoder,
+            texts,
+            make_mesh(config.sharding.num_shards),
+            steps=finetune_steps,
+            log_fn=log_fn,
+        )
+        if log_fn:
+            log_fn(
+                f"fine-tuned {finetune_steps} steps "
+                f"(loss {losses[0]:.3f} -> {losses[-1]:.3f})"
+            )
 
     embeddings = encoder.encode(texts, batch_size=config.encoder.encode_batch)
     bm25 = build_bm25(

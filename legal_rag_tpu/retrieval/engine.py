@@ -29,6 +29,7 @@ from legal_rag_tpu.config import RetrievalConfig, DEFAULT_CONFIG
 from legal_rag_tpu.index.store import VectorStore
 from legal_rag_tpu.models.encoder import SentenceEncoder
 from legal_rag_tpu.models.wordpiece import WordPieceTokenizer
+from legal_rag_tpu.ops.dense import exact_rescore
 from legal_rag_tpu.parallel.mesh import make_mesh
 from legal_rag_tpu.parallel.sharded import ShardedIndex, sharded_hybrid_search
 from legal_rag_tpu.utils.timing import StageTimer
@@ -130,6 +131,21 @@ class RetrievalEngine:
 
     # -- native batched API -------------------------------------------------
 
+    def enable_request_coalescing(
+        self, window_s: float = 0.003, max_batch: int = 64
+    ):
+        """Route concurrent ``search_batch`` calls (e.g. parallel HTTP
+        requests, each on its own worker thread) through a shared
+        micro-batch window: one device dispatch serves them all
+        (server/batching.py). Returns the coalescer for observability.
+        """
+        from legal_rag_tpu.server.batching import RequestCoalescer
+
+        self._coalescer = RequestCoalescer(
+            self._search_batch_impl, window_s=window_s, max_batch=max_batch
+        )
+        return self._coalescer
+
     def search_batch(
         self,
         queries: Sequence[str],
@@ -137,13 +153,43 @@ class RetrievalEngine:
         hybrid_weights: Optional[Sequence[float]] = None,
         mode: Optional[str] = None,
     ) -> List[List[SearchResult]]:
-        """Hybrid search for a whole query batch in one device program."""
+        """Hybrid search for a whole query batch in one device program
+        (coalesced with concurrent callers when enabled)."""
         cfg = self.config
         k = k or cfg.k
         mode = mode or cfg.fusion.mode
-        n_real = len(queries)
         if hybrid_weights is None:
-            hybrid_weights = [cfg.fusion.hybrid_weight] * n_real
+            hybrid_weights = [cfg.fusion.hybrid_weight] * len(queries)
+        coalescer = getattr(self, "_coalescer", None)
+        if coalescer is not None:
+            return coalescer.submit(queries, k, hybrid_weights, mode)
+        return self._search_batch_impl(
+            queries, k=k, hybrid_weights=hybrid_weights, mode=mode
+        )
+
+    def _search_batch_impl(
+        self,
+        queries: Sequence[str],
+        k: int,
+        hybrid_weights: Sequence[float],
+        mode: str,
+    ) -> List[List[SearchResult]]:
+        self.device_dispatches = getattr(self, "device_dispatches", 0) + 1
+        cfg = self.config
+        n_real = len(queries)
+        # int8 indexes trade exactness for 4x HBM; recover it by fp32-
+        # rescoring an oversampled candidate set after the device pass
+        # (weighted mode only — RRF is rank-based over both lists)
+        rescore = (
+            cfg.dense.dtype == "int8"
+            and cfg.dense.int8_rescore
+            and mode == "weighted"
+        )
+        k_dev = (
+            min(max(k * cfg.dense.int8_oversample, k), self.store.n_docs)
+            if rescore
+            else k
+        )
 
         # Bucket the query count to a power of two (min 8): one compiled
         # executable per bucket instead of one per batch size, and tiny
@@ -166,8 +212,8 @@ class RetrievalEngine:
                 jnp.asarray(np.asarray(hybrid_weights, dtype=np.float32)),
                 self.index.doc_scales,
                 mesh=self.mesh,
-                k=k,
-                c=max(cfg.fusion.candidate_multiplier * k, k),
+                k=k_dev,
+                c=max(cfg.fusion.candidate_multiplier * k_dev, k_dev),
                 n_docs=self.store.n_docs,
                 mode=mode,
                 use_pallas=self.use_pallas,
@@ -177,6 +223,22 @@ class RetrievalEngine:
             )
             scores, ids = np.asarray(scores), np.asarray(ids)
             sem, key = np.asarray(sem), np.asarray(key)
+        if rescore:
+            with self.timer.stage("int8_rescore"):
+                # narrow to the exact dense top-C pool first so the
+                # fusion semantics (dense candidates only) and results
+                # match the fp32 engine bit-for-bit
+                scores, ids, sem, key = exact_rescore(
+                    np.asarray(q_emb),
+                    ids,
+                    self.store.embeddings,
+                    keyword=key,
+                    weights=np.asarray(hybrid_weights, dtype=np.float32),
+                    k=k,
+                    dense_candidates=max(
+                        cfg.fusion.candidate_multiplier * k, k
+                    ),
+                )
 
         out: List[List[SearchResult]] = []
         for qi in range(n_real):

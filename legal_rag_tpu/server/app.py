@@ -45,6 +45,7 @@ class EngineHost:
         self.engine = engine
         self.loading = engine is None
         self.error: Optional[str] = None
+        self.coalescer = None
         self._thread: Optional[threading.Thread] = None
 
     def start_loading(self) -> None:
@@ -78,6 +79,10 @@ class EngineHost:
                 "procedure and what are the rights of the victim?"
             )
             logger.info("warmup complete in %.1fs", time.time() - t0)
+            # coalesce concurrent requests' searches into shared device
+            # dispatches (after warmup, so compiles never serialize
+            # behind the window)
+            self.coalescer = engine.engine.enable_request_coalescing()
             self.engine = engine
             logger.info("background engine load complete")
         except Exception as e:  # noqa: BLE001 — surfaced via /health
@@ -155,6 +160,12 @@ class HttpApp:
             payload["stage_latency"] = (
                 self.host.engine.engine.timer.snapshot()
             )
+            coal = getattr(self.host.engine.engine, "_coalescer", None)
+            if coal is not None:
+                payload["coalescing"] = {
+                    "requests": coal.requests,
+                    "device_dispatches": coal.dispatches,
+                }
         return 200, payload
 
     async def _query(self, body: bytes):
@@ -307,85 +318,120 @@ class HttpApp:
         return 200, json.loads(result.model_dump_json())
 
 
+# keep-alive connections idle out after this many seconds; bounds the
+# open-socket count without a connection cap
+_KEEPALIVE_IDLE_S = 75.0
+
+
 async def _serve_connection(app: HttpApp, reader, writer) -> None:
+    """Persistent-connection HTTP/1.1 loop: requests are served off one
+    socket until the client closes, asks to close, or idles out —
+    clients stop paying a TCP handshake per request (the round-1 server
+    closed every connection, making the HTTP edge the bottleneck at
+    high QPS)."""
     try:
-        request_line = await reader.readline()
-        if not request_line:
-            return
-        try:
-            method, target, _ = request_line.decode("latin1").split(" ", 2)
-        except ValueError:
-            return
-        headers: Dict[str, str] = {}
         while True:
-            line = await reader.readline()
-            if line in (b"\r\n", b"\n", b""):
-                break
-            key, _, value = line.decode("latin1").partition(":")
-            headers[key.strip().lower()] = value.strip()
-        length = int(headers.get("content-length", "0") or "0")
-        if length > _MAX_BODY_BYTES:
-            # drain (bounded) before responding: closing mid-send would
-            # RST the client before it can read the 413
-            remaining = min(length, 64 << 20)
-            while remaining > 0:
-                got = await reader.read(min(remaining, 1 << 16))
-                if not got:
+            try:
+                request_line = await asyncio.wait_for(
+                    reader.readline(), timeout=_KEEPALIVE_IDLE_S
+                )
+            except asyncio.TimeoutError:
+                return
+            if not request_line:
+                return
+            try:
+                method, target, version = (
+                    request_line.decode("latin1").strip().split(" ", 2)
+                )
+            except ValueError:
+                return
+            headers: Dict[str, str] = {}
+            while True:
+                line = await reader.readline()
+                if line in (b"\r\n", b"\n", b""):
                     break
-                remaining -= len(got)
-            data = json.dumps({"detail": "request body too large"}).encode()
-            writer.write(
-                (
-                    f"HTTP/1.1 413 ERR\r\nContent-Type: application/json\r\n"
-                    f"Content-Length: {len(data)}\r\nConnection: close\r\n\r\n"
-                ).encode() + data
+                key, _, value = line.decode("latin1").partition(":")
+                headers[key.strip().lower()] = value.strip()
+
+            # HTTP/1.1 defaults to keep-alive; 1.0 must opt in
+            conn_hdr = headers.get("connection", "").lower()
+            keep_alive = (
+                "close" not in conn_hdr
+                and (version.startswith("HTTP/1.1") or "keep-alive" in conn_hdr)
             )
-            await writer.drain()
-            return
-        body = await reader.readexactly(length) if length else b""
+            conn_line = (
+                "Connection: keep-alive" if keep_alive else "Connection: close"
+            )
 
-        parsed = urllib.parse.urlsplit(target)
-        query = dict(urllib.parse.parse_qsl(parsed.query))
-        status, payload = await app.handle(
-            method.upper(), parsed.path, query, body
-        )
+            length = int(headers.get("content-length", "0") or "0")
+            if length > _MAX_BODY_BYTES:
+                # drain (bounded) before responding: closing mid-send
+                # would RST the client before it can read the 413
+                remaining = min(length, 64 << 20)
+                while remaining > 0:
+                    got = await reader.read(min(remaining, 1 << 16))
+                    if not got:
+                        break
+                    remaining -= len(got)
+                data = json.dumps(
+                    {"detail": "request body too large"}
+                ).encode()
+                writer.write(
+                    (
+                        f"HTTP/1.1 413 ERR\r\n"
+                        f"Content-Type: application/json\r\n"
+                        f"Content-Length: {len(data)}\r\nConnection: close\r\n\r\n"
+                    ).encode() + data
+                )
+                await writer.drain()
+                return
+            body = await reader.readexactly(length) if length else b""
 
-        if status == "stream":
-            # Server-Sent Events over chunked transfer
+            parsed = urllib.parse.urlsplit(target)
+            query = dict(urllib.parse.parse_qsl(parsed.query))
+            status, payload = await app.handle(
+                method.upper(), parsed.path, query, body
+            )
+
+            if status == "stream":
+                # Server-Sent Events over chunked transfer; the stream
+                # has no delimiter beyond EOF, so it always closes
+                lines = [
+                    "HTTP/1.1 200 OK",
+                    "Content-Type: text/event-stream",
+                    "Cache-Control: no-cache",
+                    "Transfer-Encoding: chunked",
+                    "Connection: close",
+                ]
+                lines.extend(f"{k}: {v}" for k, v in _CORS_HEADERS)
+                writer.write(("\r\n".join(lines) + "\r\n\r\n").encode())
+                await writer.drain()
+
+                def chunk(data: bytes) -> bytes:
+                    return f"{len(data):X}\r\n".encode() + data + b"\r\n"
+
+                async for event, obj in payload:
+                    frame = (
+                        f"event: {event}\ndata: {json.dumps(obj)}\n\n".encode()
+                    )
+                    writer.write(chunk(frame))
+                    await writer.drain()
+                writer.write(b"0\r\n\r\n")
+                await writer.drain()
+                return
+
+            data = json.dumps(payload).encode() if status != 204 else b""
             lines = [
-                "HTTP/1.1 200 OK",
-                "Content-Type: text/event-stream",
-                "Cache-Control: no-cache",
-                "Transfer-Encoding: chunked",
-                "Connection: close",
+                f"HTTP/1.1 {status} {'OK' if status < 400 else 'ERR'}",
+                "Content-Type: application/json",
+                f"Content-Length: {len(data)}",
+                conn_line,
             ]
             lines.extend(f"{k}: {v}" for k, v in _CORS_HEADERS)
-            writer.write(("\r\n".join(lines) + "\r\n\r\n").encode())
+            writer.write(("\r\n".join(lines) + "\r\n\r\n").encode() + data)
             await writer.drain()
-
-            def chunk(data: bytes) -> bytes:
-                return f"{len(data):X}\r\n".encode() + data + b"\r\n"
-
-            async for event, obj in payload:
-                frame = (
-                    f"event: {event}\ndata: {json.dumps(obj)}\n\n".encode()
-                )
-                writer.write(chunk(frame))
-                await writer.drain()
-            writer.write(b"0\r\n\r\n")
-            await writer.drain()
-            return
-
-        data = json.dumps(payload).encode() if status != 204 else b""
-        lines = [
-            f"HTTP/1.1 {status} {'OK' if status < 400 else 'ERR'}",
-            "Content-Type: application/json",
-            f"Content-Length: {len(data)}",
-            "Connection: close",
-        ]
-        lines.extend(f"{k}: {v}" for k, v in _CORS_HEADERS)
-        writer.write(("\r\n".join(lines) + "\r\n\r\n").encode() + data)
-        await writer.drain()
+            if not keep_alive:
+                return
     except Exception:  # noqa: BLE001 — connection-level robustness
         logger.exception("connection handler error")
     finally:

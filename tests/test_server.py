@@ -306,3 +306,118 @@ def test_concurrent_queries_and_health(server_port):
     assert health_status == 200 and health["engine_status"] == "ready"
     assert all(status == 200 for status, _ in results)
     assert all(body["answer"] for _, body in results)
+
+def test_keep_alive_connection_reuse(server_port):
+    """Two requests ride ONE persistent connection (HTTP/1.1
+    keep-alive; the round-1 server closed every connection)."""
+    s = socket.create_connection(("127.0.0.1", server_port), timeout=10)
+    try:
+        for _ in range(2):
+            s.sendall(
+                b"GET /health HTTP/1.1\r\nHost: x\r\n\r\n"
+            )
+            buf = b""
+            while b"\r\n\r\n" not in buf:
+                buf += s.recv(4096)
+            head, _, rest = buf.partition(b"\r\n\r\n")
+            assert b"200" in head.split(b"\r\n")[0]
+            assert b"connection: keep-alive" in head.lower()
+            length = int(
+                [l for l in head.lower().split(b"\r\n")
+                 if l.startswith(b"content-length")][0].split(b":")[1]
+            )
+            while len(rest) < length:
+                rest += s.recv(4096)
+            json.loads(rest[:length])
+    finally:
+        s.close()
+
+
+def test_connection_close_honored(server_port):
+    """'Connection: close' requests terminate the socket after the
+    response."""
+    s = socket.create_connection(("127.0.0.1", server_port), timeout=10)
+    try:
+        s.sendall(
+            b"GET /health HTTP/1.1\r\nHost: x\r\nConnection: close\r\n\r\n"
+        )
+        buf = b""
+        while True:
+            got = s.recv(4096)
+            if not got:
+                break
+            buf += got
+        head = buf.split(b"\r\n\r\n")[0].lower()
+        assert b"connection: close" in head
+    finally:
+        s.close()
+
+
+def test_concurrent_queries_coalesce_device_dispatches(
+    server_port, legal_engine_module
+):
+    """N concurrent /query requests must execute FEWER than N device
+    dispatches: the serving edge coalesces their searches into shared
+    device programs (VERDICT r1 item 6)."""
+    import concurrent.futures
+
+    core = legal_engine_module.engine
+    coal = core.enable_request_coalescing(window_s=0.05)
+    try:
+        queries = [
+            "punishment for robbery",
+            "zero fir registration",
+            "acid attack compensation",
+            "medical examination procedure",
+            "witness examination by police",
+            "complaint against public servant",
+            "electronic communication fir",
+            "non cognizable offence report",
+        ]
+        before = getattr(core, "device_dispatches", 0)
+        with concurrent.futures.ThreadPoolExecutor(max_workers=8) as pool:
+            futures = [
+                pool.submit(
+                    _post, server_port, "/api/v1/query", {"query": q}
+                )
+                for q in queries
+            ]
+            results = [f.result(timeout=180) for f in futures]
+        assert all(status == 200 for status, _ in results)
+        assert all(body["answer"] for _, body in results)
+        # every request went through the coalescer, and it needed
+        # fewer device programs than requests
+        assert coal.requests >= len(queries)
+        n_dispatches = core.device_dispatches - before
+        assert n_dispatches < len(queries), (
+            f"{n_dispatches} dispatches for {len(queries)} concurrent "
+            "queries — no coalescing happened"
+        )
+        # coalescing visible in /health
+        _, health = _get(server_port, "/health")
+        assert health["coalescing"]["requests"] >= len(queries)
+    finally:
+        core._coalescer = None
+
+
+def test_coalescer_results_match_uncoalesced(legal_engine_module):
+    """Coalesced search results are identical to direct calls."""
+    core = legal_engine_module.engine
+    import concurrent.futures
+
+    queries = ["punishment for robbery", "zero fir", "acid attack victim"]
+    direct = [core.search_batch([q], k=4) for q in queries]
+    core.enable_request_coalescing(window_s=0.05)
+    try:
+        with concurrent.futures.ThreadPoolExecutor(max_workers=4) as pool:
+            futures = [
+                pool.submit(core.search_batch, [q], 4) for q in queries
+            ]
+            merged = [f.result(timeout=120) for f in futures]
+    finally:
+        core._coalescer = None
+    for d, m in zip(direct, merged):
+        assert [r.doc_id for r in d[0]] == [r.doc_id for r in m[0]]
+        assert [r.score for r in d[0]] == pytest.approx(
+            [r.score for r in m[0]]
+        )
