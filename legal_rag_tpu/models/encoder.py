@@ -85,7 +85,12 @@ class SentenceEncoder:
             )
             params = init_minilm_params(cfg_eff, seed=seed)
             self.cfg = cfg_eff
-        self.params = params
+        # Pin the weights on device ONCE: checkpoint-loaded params are
+        # host numpy arrays, and passing them into the jitted forward
+        # re-transfers the full ~90 MB weight pytree on EVERY encode
+        # call (measured: encode throughput collapsed ~40x through the
+        # TPU relay). After this, each call ships only the token ids.
+        self.params = jax.device_put(params)
 
     @property
     def tokenizer_impl(self) -> str:

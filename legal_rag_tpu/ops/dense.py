@@ -266,11 +266,17 @@ def dense_topk_pallas(
 # ---------------------------------------------------------------------------
 
 
-def _segmax_kernel(q_ref, d_ref, m_ref, id_ref, *, block_n, n_real, precision):
+def _segmax_kernel(
+    q_ref, d_ref, m_ref, id_ref, *, block_n, seg_rows, n_real, precision,
+):
     """Phase 1: per (query-block, doc-block) grid step, reduce the
-    [BQ, BN] score tile to 128 strided *segment* maxima + the doc id of
-    each segment's max. The [Q, N] score matrix never reaches HBM —
-    only [Q, N/rows] segment summaries do."""
+    [BQ, BN] score tile to per-*segment* maxima + the doc id of each
+    segment's max (a segment = ``seg_rows`` docs strided 128 apart, so
+    the reduction and id math stay lane-aligned). The [Q, N] score
+    matrix never reaches HBM — only [Q, N/seg_rows] segment summaries
+    do. ``seg_rows`` trades phase-2 gather volume (k' * seg_rows docs
+    per query) against phase-2 top-k width (N/seg_rows), independently
+    of the DMA block size."""
     j = pl.program_id(1)
     s = jnp.dot(
         q_ref[:], d_ref[:],
@@ -281,16 +287,19 @@ def _segmax_kernel(q_ref, d_ref, m_ref, id_ref, *, block_n, n_real, precision):
     s = jnp.where(col < n_real, s, _NEG_F32)
 
     bq, bn = s.shape
-    rows = bn // 128
-    s3 = s.reshape(bq, rows, 128)                 # segment = lane (strided)
-    seg_max = jnp.max(s3, axis=1)                 # [BQ, 128]
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, s3.shape, 1)
+    groups = bn // (seg_rows * 128)
+    s4 = s.reshape(bq, groups, seg_rows, 128)     # minor dim stays 128
+    seg_max = jnp.max(s4, axis=2)                 # [BQ, G, 128]
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, s4.shape, 2)
     min_row = jnp.min(
-        jnp.where(s3 == seg_max[:, None, :], row_iota, _INT32_MAX), axis=1
-    )
-    lane = jax.lax.broadcasted_iota(jnp.int32, seg_max.shape, 1)
-    m_ref[:] = seg_max
-    id_ref[:] = base + min_row * 128 + lane
+        jnp.where(s4 == seg_max[:, :, None, :], row_iota, _INT32_MAX),
+        axis=2,
+    )                                             # [BQ, G, 128]
+    g_iota = jax.lax.broadcasted_iota(jnp.int32, seg_max.shape, 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, seg_max.shape, 2)
+    ids = base + g_iota * (seg_rows * 128) + min_row * 128 + lane
+    m_ref[:] = seg_max.reshape(bq, groups * 128)
+    id_ref[:] = ids.reshape(bq, groups * 128)
 
 
 # Extra segments taken beyond k to absorb exact-score ties at the
@@ -303,26 +312,34 @@ _TIE_OVERSAMPLE = 64
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "block_n", "block_q", "interpret", "precision"),
+    static_argnames=(
+        "k", "block_n", "block_q", "seg_rows", "interpret", "precision",
+    ),
 )
 def dense_topk_twophase(
     queries: jax.Array,
     docs_t: jax.Array,
     k: int,
     *,
-    block_n: int = 1024,   # segment size = block_n/128 docs; gather
-                           # volume scales with it, so keep blocks small
-    block_q: int = 8,
+    block_n: int = 1024,
+    block_q: int = 8,      # for batch search use block_q >= Q so the
+                           # doc matrix streams through VMEM exactly ONCE
+    seg_rows: int = 8,     # docs per segment; phase-2 gather volume is
+                           # k' * seg_rows docs/query, phase-2 top-k
+                           # width is N/seg_rows — tune independently of
+                           # the DMA block size
     interpret: bool = False,
     precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
 ) -> Tuple[jax.Array, jax.Array]:
     """Large-N exact top-k: Pallas segment-max sweep + XLA refine.
 
     Phase 1 (Pallas, bandwidth-bound): one pass over the doc matrix
-    emitting per-128-column-segment (max, argmax-id) — an N/rows-fold
+    emitting per-segment (max, argmax-id) — an N/seg_rows-fold
     reduction with no [Q, N] HBM materialization and O(N) VPU work
     (the fused kernel's running-top-k selection is O(k*N), which
-    dominates beyond ~100k docs).
+    dominates beyond ~100k docs). XLA's dot+top_k writes the [Q, N]
+    f32 score matrix to HBM and reads it back for top_k — at 1M docs
+    that is ~512 MB of extra traffic this kernel never pays.
 
     Phase 2 (XLA, tiny): top-(k + oversample) segments per query, a
     [Q, K', D] gather of exactly those segments' document columns, an
@@ -332,15 +349,21 @@ def dense_topk_twophase(
     q, d = queries.shape
     d2, n = docs_t.shape
     assert d == d2, f"dim mismatch {d} vs {d2}"
+    assert block_n % (seg_rows * 128) == 0, (
+        f"block_n {block_n} must be a multiple of seg_rows*128 "
+        f"({seg_rows * 128})"
+    )
     qp = -(-q // block_q) * block_q
     np_ = -(-n // block_n) * block_n
     queries_p = _pad_to(queries, qp, 0)
     docs_p = _pad_to(docs_t, np_, 1)
     nb = np_ // block_n
-    rows = block_n // 128
+    groups = block_n // (seg_rows * 128)
+    segs_per_block = groups * 128
 
     kernel = functools.partial(
-        _segmax_kernel, block_n=block_n, n_real=n, precision=precision
+        _segmax_kernel, block_n=block_n, seg_rows=seg_rows, n_real=n,
+        precision=precision,
     )
     seg_m, seg_i = pl.pallas_call(
         kernel,
@@ -350,25 +373,32 @@ def dense_topk_twophase(
             pl.BlockSpec((d, block_n), lambda i, j: (0, j)),
         ],
         out_specs=[
-            pl.BlockSpec((block_q, 128), lambda i, j: (i, j)),
-            pl.BlockSpec((block_q, 128), lambda i, j: (i, j)),
+            pl.BlockSpec((block_q, segs_per_block), lambda i, j: (i, j)),
+            pl.BlockSpec((block_q, segs_per_block), lambda i, j: (i, j)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((qp, nb * 128), jnp.float32),
-            jax.ShapeDtypeStruct((qp, nb * 128), jnp.int32),
+            jax.ShapeDtypeStruct((qp, nb * segs_per_block), jnp.float32),
+            jax.ShapeDtypeStruct((qp, nb * segs_per_block), jnp.int32),
         ],
         interpret=interpret,
     )(queries_p, docs_p)
 
     # phase 2: segment selection (+ tie oversample), gather, rescore
-    kk = min(k + _TIE_OVERSAMPLE, nb * 128)
+    kk = min(k + _TIE_OVERSAMPLE, nb * segs_per_block)
     _, seg_pos = jax.lax.top_k(seg_m, kk)                       # [Qp, kk]
-    block_idx = seg_pos // 128
-    lane_idx = seg_pos % 128
-    # doc ids of every element of each chosen segment: [Qp, kk, rows]
-    r_iota = jax.lax.broadcasted_iota(jnp.int32, (qp, kk, rows), 2)
-    cand_ids = block_idx[:, :, None] * block_n + r_iota * 128 + lane_idx[:, :, None]
-    cand_flat = cand_ids.reshape(qp, kk * rows)
+    block_idx = seg_pos // segs_per_block
+    rem = seg_pos % segs_per_block
+    g_idx = rem // 128
+    lane_idx = rem % 128
+    # doc ids of every element of each chosen segment: [Qp, kk, seg_rows]
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (qp, kk, seg_rows), 2)
+    cand_ids = (
+        block_idx[:, :, None] * block_n
+        + g_idx[:, :, None] * (seg_rows * 128)
+        + r_iota * 128
+        + lane_idx[:, :, None]
+    )
+    cand_flat = cand_ids.reshape(qp, kk * seg_rows)
     cand_safe = jnp.clip(cand_flat, 0, np_ - 1)
 
     # gather candidate doc columns and rescore exactly

@@ -187,3 +187,18 @@ def test_pallas_dynamic_n_valid():
         axis=1, kind="stable",
     )[:, :5]
     np.testing.assert_array_equal(ids, golden)
+
+@pytest.mark.parametrize("seg_rows,block_q", [(1, 8), (4, 16), (8, 8)])
+def test_twophase_seg_rows_variants(data, seg_rows, block_q):
+    """Segment width and query blocking are tunable independently of
+    the DMA block; every variant returns the exact golden ordering."""
+    from legal_rag_tpu.ops.dense import dense_topk_twophase
+
+    queries, docs = data
+    g_s, g_i = golden_topk(queries, docs, 7)
+    s, i = dense_topk_twophase(
+        jnp.asarray(queries), jnp.asarray(docs.T), 7,
+        block_n=1024, block_q=block_q, seg_rows=seg_rows, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(i), g_i)
+    np.testing.assert_allclose(np.asarray(s), g_s, rtol=1e-5, atol=1e-6)
