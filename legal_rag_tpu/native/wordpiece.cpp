@@ -11,19 +11,25 @@
 // Pipeline (BERT "basic" + WordPiece, matching models/wordpiece.py):
 //   1. UTF-8 decode; drop control chars; space out CJK; normalize
 //      whitespace.
-//   2. Lowercase + strip Latin diacritics (NFD for the Latin-1 /
-//      Latin-Extended-A range via table; this corpus is Latin-script).
-//   3. Split punctuation into standalone tokens.
+//   2. Per WORD: lowercase (incl. the Final_Sigma context rule) + NFD
+//      accent strip + combining-mark removal, all via tables generated
+//      from CPython's unicodedata (gen_unicode_tables.py) — full
+//      Unicode coverage, exact parity with the Python tokenizer.
+//   3. Split punctuation (checked on the transformed codepoints, the
+//      order the Python pipeline uses) into standalone tokens.
 //   4. Greedy longest-match WordPiece with "##" continuations,
 //      matching at codepoint boundaries; unmatchable words -> [UNK].
 //
-// Build: make -C legal_rag_tpu/native  (g++ -O2 -shared -fPIC)
+// Build: make -C legal_rag_tpu/native  (generates unicode_tables.h,
+// then g++ -O2 -shared -fPIC)
 
 #include <cstdint>
 #include <cstring>
 #include <string>
 #include <unordered_map>
 #include <vector>
+
+#include "unicode_tables.h"
 
 namespace {
 
@@ -77,54 +83,75 @@ void append_utf8(std::string& out, uint32_t cp) {
     }
 }
 
-// ---------------- character classes ----------------
+// ---------------- character classes (generated tables) ----------------
 
-bool is_whitespace(uint32_t cp) {
-    switch (cp) {
-        case ' ': case '\t': case '\n': case '\r':
-        case 0xA0: case 0x1680: case 0x202F: case 0x205F: case 0x3000:
+bool in_ranges(uint32_t cp, const CpRange* table, int len) {
+    int lo = 0, hi = len - 1;
+    while (lo <= hi) {
+        int mid = (lo + hi) / 2;
+        if (cp < table[mid].lo) {
+            hi = mid - 1;
+        } else if (cp > table[mid].hi) {
+            lo = mid + 1;
+        } else {
             return true;
-        default:
-            return (cp >= 0x2000 && cp <= 0x200A);
+        }
     }
+    return false;
+}
+
+// ASCII fast paths — legal corpora are overwhelmingly ASCII, so the
+// hot loop should not binary-search for 'a'.
+bool is_whitespace(uint32_t cp) {
+    if (cp < 0x80)
+        return cp == ' ' || cp == '\t' || cp == '\n' || cp == '\r';
+    return in_ranges(cp, kSpaceRanges, kSpaceRanges_len);
 }
 
 bool is_control(uint32_t cp) {
-    if (cp == '\t' || cp == '\n' || cp == '\r') return false;
-    if (cp < 0x20 || cp == 0x7F) return true;
-    if (cp >= 0x80 && cp <= 0x9F) return true;
-    // common format (Cf) characters
-    if (cp == 0xAD || cp == 0x200B || cp == 0x200C || cp == 0x200D ||
-        cp == 0x200E || cp == 0x200F || cp == 0xFEFF) return true;
-    if (cp >= 0x202A && cp <= 0x202E) return true;
-    if (cp >= 0x2060 && cp <= 0x2064) return true;
-    return false;
+    if (cp < 0x80)
+        return (cp < 0x20 && cp != '\t' && cp != '\n' && cp != '\r') ||
+               cp == 0x7F;
+    return in_ranges(cp, kControlRanges, kControlRanges_len);
 }
 
 bool is_punctuation(uint32_t cp) {
-    // ASCII ranges BERT always treats as punctuation
-    if ((cp >= 33 && cp <= 47) || (cp >= 58 && cp <= 64) ||
-        (cp >= 91 && cp <= 96) || (cp >= 123 && cp <= 126)) return true;
-    // Latin-1 punctuation (category P*)
-    switch (cp) {
-        case 0xA1: case 0xA7: case 0xAB: case 0xB6: case 0xB7:
-        case 0xBB: case 0xBF:
-            return true;
-        default: break;
+    if (cp < 0x80)
+        return (cp >= 33 && cp <= 47) || (cp >= 58 && cp <= 64) ||
+               (cp >= 91 && cp <= 96) || (cp >= 123 && cp <= 126);
+    return in_ranges(cp, kPunctRanges, kPunctRanges_len);
+}
+
+bool is_cased_cp(uint32_t cp) {
+    return in_ranges(cp, kCasedRanges, kCasedRanges_len);
+}
+
+bool is_case_ignorable_cp(uint32_t cp) {
+    return in_ranges(cp, kCaseIgnorableRanges, kCaseIgnorableRanges_len);
+}
+
+// strip_Mn(NFD(lower(cp))); returns count written into out[MAX 4].
+// Identity (count 1, out[0]=cp) when the table has no entry.
+int transform_cp(uint32_t cp, uint32_t* out) {
+    if (cp < 0x80) {  // ASCII: only A-Z transform
+        out[0] = (cp >= 'A' && cp <= 'Z') ? cp + 32 : cp;
+        return 1;
     }
-    // General punctuation block (P* members; excludes spaces/format)
-    if (cp >= 0x2010 && cp <= 0x2027) return true;
-    if (cp >= 0x2030 && cp <= 0x205E && !(cp >= 0x2044 && cp <= 0x2046))
-        return (cp != 0x2052);
-    // CJK punctuation + fullwidth forms commonly punctuation
-    if (cp >= 0x3001 && cp <= 0x3003) return true;
-    if (cp == 0x3008 || cp == 0x3009 || cp == 0x300A || cp == 0x300B ||
-        cp == 0x300C || cp == 0x300D) return true;
-    if (cp >= 0xFF01 && cp <= 0xFF0F) return true;
-    if (cp >= 0xFF1A && cp <= 0xFF20) return true;
-    if (cp >= 0xFF3B && cp <= 0xFF40) return true;
-    if (cp >= 0xFF5B && cp <= 0xFF65) return true;
-    return false;
+    int lo = 0, hi = kTransforms_len - 1;
+    while (lo <= hi) {
+        int mid = (lo + hi) / 2;
+        if (cp < kTransforms[mid].cp) {
+            hi = mid - 1;
+        } else if (cp > kTransforms[mid].cp) {
+            lo = mid + 1;
+        } else {
+            for (int i = 0; i < kTransforms[mid].n; ++i)
+                out[i] = kTransforms[mid].out[i];
+            return kTransforms[mid].n;
+        }
+    }
+    out[0] = cp;
+    return 1;
 }
 
 bool is_cjk(uint32_t cp) {
@@ -134,62 +161,39 @@ bool is_cjk(uint32_t cp) {
            (cp >= 0xF900 && cp <= 0xFAFF) || (cp >= 0x2F800 && cp <= 0x2FA1F);
 }
 
-// Lowercase + diacritic strip for Latin-1 supplement / Latin Ext-A.
-// Returns 0 to drop the codepoint (combining marks).
-uint32_t lower_strip(uint32_t cp) {
-    if (cp >= 'A' && cp <= 'Z') return cp + 32;
-    // combining marks (Mn) get dropped post-NFD; inputs may carry them
-    if (cp >= 0x0300 && cp <= 0x036F) return 0;
-    if (cp >= 0xC0 && cp <= 0xFF && cp != 0xD7 && cp != 0xF7) {
-        uint32_t c = (cp >= 0xC0 && cp <= 0xDE) ? cp + 0x20 : cp;  // lowercase
-        // strip accent to base letter
-        if (c >= 0xE0 && c <= 0xE5) return 'a';
-        if (c == 0xE7) return 'c';
-        if (c >= 0xE8 && c <= 0xEB) return 'e';
-        if (c >= 0xEC && c <= 0xEF) return 'i';
-        if (c == 0xF1) return 'n';
-        if ((c >= 0xF2 && c <= 0xF6) || c == 0xF8) return 'o';
-        if (c >= 0xF9 && c <= 0xFC) return 'u';
-        if (c == 0xFD || c == 0xFF) return 'y';
-        return c;  // æ ð þ ß stay (NFD doesn't decompose them)
-    }
-    if (cp >= 0x100 && cp <= 0x17F) {
-        // Latin Extended-A: lowercase via pairing, then strip to base
-        uint32_t c = cp;
-        if (cp <= 0x137 || (cp >= 0x14A && cp <= 0x177)) {
-            if ((cp & 1) == 0) c = cp + 1;
-        } else if (cp >= 0x139 && cp <= 0x148) {
-            if ((cp & 1) == 1) c = cp + 1;
-        } else if (cp >= 0x179 && cp <= 0x17E) {
-            if ((cp & 1) == 1) c = cp + 1;
-        } else if (cp == 0x178) {
-            c = 0xFF;
+constexpr uint32_t kCapitalSigma = 0x03A3;
+constexpr uint32_t kSmallSigma = 0x03C3;
+constexpr uint32_t kFinalSigma = 0x03C2;
+
+// Whole-word lowercase + accent strip, matching str.lower()'s only
+// context-sensitive rule (Final_Sigma) over the RAW codepoints, then
+// per-cp transform. Words arrive whitespace-delimited, so the
+// out-of-word context is never cased — in-word scanning suffices.
+void transform_word(const std::vector<uint32_t>& raw,
+                    std::vector<uint32_t>& out) {
+    const size_t n = raw.size();
+    uint32_t buf[4];
+    for (size_t i = 0; i < n; ++i) {
+        uint32_t cp = raw[i];
+        if (cp == kCapitalSigma) {
+            bool before = false;
+            for (size_t j = i; j-- > 0;) {
+                if (is_case_ignorable_cp(raw[j])) continue;
+                before = is_cased_cp(raw[j]);
+                break;
+            }
+            bool after = false;
+            for (size_t j = i + 1; j < n; ++j) {
+                if (is_case_ignorable_cp(raw[j])) continue;
+                after = is_cased_cp(raw[j]);
+                break;
+            }
+            out.push_back((before && !after) ? kFinalSigma : kSmallSigma);
+            continue;
         }
-        // base letters for the canonical decomposables ONLY — stroked /
-        // non-decomposing letters (đ ħ ı ĸ ŀ ł ŉ ŋ œ ŧ) keep their
-        // lowercased form, matching NFD + Mn-strip semantics
-        if (c >= 0x101 && c <= 0x105) return 'a';
-        if (c >= 0x107 && c <= 0x10D) return 'c';
-        if (c == 0x10F) return 'd';
-        if (c >= 0x113 && c <= 0x11B) return 'e';
-        if (c >= 0x11D && c <= 0x123) return 'g';
-        if (c == 0x125) return 'h';
-        if (c >= 0x129 && c <= 0x12F) return 'i';
-        if (c == 0x135) return 'j';
-        if (c == 0x137) return 'k';
-        if (c == 0x13A || c == 0x13C || c == 0x13E) return 'l';
-        if (c == 0x144 || c == 0x146 || c == 0x148) return 'n';
-        if (c >= 0x14D && c <= 0x151) return 'o';
-        if (c >= 0x155 && c <= 0x159) return 'r';
-        if (c >= 0x15B && c <= 0x161) return 's';
-        if (c == 0x163 || c == 0x165) return 't';
-        if (c >= 0x169 && c <= 0x173) return 'u';
-        if (c == 0x175) return 'w';
-        if (c == 0x177 || c == 0xFF) return 'y';
-        if (c >= 0x17A && c <= 0x17E) return 'z';
-        return c;
+        int m = transform_cp(cp, buf);
+        for (int t = 0; t < m; ++t) out.push_back(buf[t]);
     }
-    return cp;
 }
 
 constexpr size_t kMaxWordChars = 200;
@@ -242,28 +246,49 @@ void wordpiece_word(const Vocab& v, const std::string& word,
 void tokenize_text(const Vocab& v, const char* text, size_t len,
                    std::vector<int32_t>& out) {
     const unsigned char* s = reinterpret_cast<const unsigned char*>(text);
-    std::string word;
+    std::vector<uint32_t> raw, lowered;
+    std::string piece;
+
+    // Python order (models/wordpiece.py basic_tokenize): words are
+    // whitespace/CJK-delimited with punctuation still INSIDE, the whole
+    // word is lowercased+stripped, and only THEN is punctuation split —
+    // so punctuation class is judged on transformed codepoints and
+    // Final_Sigma sees the word's full raw context.
     auto flush_word = [&]() {
-        if (!word.empty()) {
-            wordpiece_word(v, word, out);
-            word.clear();
+        if (raw.empty()) return;
+        lowered.clear();
+        transform_word(raw, lowered);
+        raw.clear();
+        piece.clear();
+        for (uint32_t cp : lowered) {
+            if (is_punctuation(cp)) {
+                if (!piece.empty()) {
+                    wordpiece_word(v, piece, out);
+                    piece.clear();
+                }
+                std::string one;
+                append_utf8(one, cp);
+                wordpiece_word(v, one, out);
+            } else {
+                append_utf8(piece, cp);
+            }
         }
+        if (!piece.empty()) wordpiece_word(v, piece, out);
     };
+
     for (size_t i = 0; i < len;) {
         uint32_t cp = decode_utf8(s, len, i);
         if (cp == 0 || cp == 0xFFFD || is_control(cp)) continue;
         if (is_whitespace(cp)) { flush_word(); continue; }
-        if (is_cjk(cp) || is_punctuation(cp)) {
-            // standalone token (CJK chars and punctuation split off)
+        if (is_cjk(cp)) {
+            // CJK chars become standalone words (Python pads them with
+            // spaces before the whitespace split)
             flush_word();
-            std::string one;
-            append_utf8(one, cp);
-            wordpiece_word(v, one, out);
+            raw.push_back(cp);
+            flush_word();
             continue;
         }
-        uint32_t lowered = lower_strip(cp);
-        if (lowered == 0) continue;  // dropped combining mark
-        append_utf8(word, lowered);
+        raw.push_back(cp);
     }
     flush_word();
 }

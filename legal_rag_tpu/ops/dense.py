@@ -267,16 +267,17 @@ def dense_topk_pallas(
 
 
 def _segmax_kernel(
-    q_ref, d_ref, m_ref, id_ref, *, block_n, seg_rows, n_real, precision,
+    q_ref, d_ref, m_ref, *, block_n, seg_rows, n_real, precision,
 ):
     """Phase 1: per (query-block, doc-block) grid step, reduce the
-    [BQ, BN] score tile to per-*segment* maxima + the doc id of each
-    segment's max (a segment = ``seg_rows`` docs strided 128 apart, so
-    the reduction and id math stay lane-aligned). The [Q, N] score
-    matrix never reaches HBM — only [Q, N/seg_rows] segment summaries
-    do. ``seg_rows`` trades phase-2 gather volume (k' * seg_rows docs
-    per query) against phase-2 top-k width (N/seg_rows), independently
-    of the DMA block size."""
+    [BQ, BN] score tile to per-*segment* maxima (a segment =
+    ``seg_rows`` docs strided 128 apart, so the reduction stays
+    lane-aligned). The [Q, N] score matrix never reaches HBM — only
+    [Q, N/seg_rows] segment maxima do; member doc ids are pure index
+    arithmetic recovered in phase 2, so no id tracking in the hot
+    loop. ``seg_rows`` trades phase-2 gather volume (k' * seg_rows
+    docs per query) against phase-2 top-k width (N/seg_rows),
+    independently of the DMA block size."""
     j = pl.program_id(1)
     s = jnp.dot(
         q_ref[:], d_ref[:],
@@ -289,17 +290,7 @@ def _segmax_kernel(
     bq, bn = s.shape
     groups = bn // (seg_rows * 128)
     s4 = s.reshape(bq, groups, seg_rows, 128)     # minor dim stays 128
-    seg_max = jnp.max(s4, axis=2)                 # [BQ, G, 128]
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, s4.shape, 2)
-    min_row = jnp.min(
-        jnp.where(s4 == seg_max[:, :, None, :], row_iota, _INT32_MAX),
-        axis=2,
-    )                                             # [BQ, G, 128]
-    g_iota = jax.lax.broadcasted_iota(jnp.int32, seg_max.shape, 1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, seg_max.shape, 2)
-    ids = base + g_iota * (seg_rows * 128) + min_row * 128 + lane
-    m_ref[:] = seg_max.reshape(bq, groups * 128)
-    id_ref[:] = ids.reshape(bq, groups * 128)
+    m_ref[:] = jnp.max(s4, axis=2).reshape(bq, groups * 128)
 
 
 # Extra segments taken beyond k to absorb exact-score ties at the
@@ -365,21 +356,19 @@ def dense_topk_twophase(
         _segmax_kernel, block_n=block_n, seg_rows=seg_rows, n_real=n,
         precision=precision,
     )
-    seg_m, seg_i = pl.pallas_call(
+    seg_m = pl.pallas_call(
         kernel,
         grid=(qp // block_q, nb),
         in_specs=[
             pl.BlockSpec((block_q, d), lambda i, j: (i, 0)),
             pl.BlockSpec((d, block_n), lambda i, j: (0, j)),
         ],
-        out_specs=[
-            pl.BlockSpec((block_q, segs_per_block), lambda i, j: (i, j)),
-            pl.BlockSpec((block_q, segs_per_block), lambda i, j: (i, j)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((qp, nb * segs_per_block), jnp.float32),
-            jax.ShapeDtypeStruct((qp, nb * segs_per_block), jnp.int32),
-        ],
+        out_specs=pl.BlockSpec(
+            (block_q, segs_per_block), lambda i, j: (i, j)
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (qp, nb * segs_per_block), jnp.float32
+        ),
         interpret=interpret,
     )(queries_p, docs_p)
 

@@ -42,7 +42,43 @@ ADVERSARIAL = [
     "UPPER lower MiXeD 123 45.67",
     "tabs\tand\nnewlines\r\nand  spaces",
     "em—dash–hyphen-minus",
+    # full-Unicode coverage (ADVICE r1: these diverged under the old
+    # Latin-only native tables)
+    "धारा १७३ के अनुसार। दंड प्रक्रिया।",        # Devanagari + danda U+0964
+    "İstanbul'da İĞNE ve ışık",                  # Turkish İ (1->2 cps), ı
+    "ΝΟΜΟΣ ΠΟΙΝΙΚΟΣ: Ο Σ ΣΤΟ ΤΕΛΟΣ",            # Greek incl. Final_Sigma
+    "ΟΔΥΣΣΕΥΣ ΟΔΥΣΣΕΥΣΑ 'ΣΟΦΟΣ' (ΣΟΦΟΣ)",       # sigma + punct contexts
+    "УГОЛОВНЫЙ КОДЕКС статья",                   # Cyrillic case
+    "ʼn ǅungla ǲur ﬁne ﬂow",                     # special lower/compat chars
+    "áé combining, ﬀ ligature",      # standalone Mn marks
+    "豈 更 車 compatibility ideographs",          # F900 block NFD-maps
+    "１２３ ＡＢＣ ｆｕｌｌｗｉｄｔｈ！？",         # fullwidth forms
 ]
+
+
+def test_unicode_fuzz_parity(pair):
+    """Randomized full-Unicode parity sweep: any divergence between the
+    generated-table C++ path and the unicodedata-backed Python path is
+    a bug in the tables."""
+    import random
+
+    py, cc, _ = pair
+    rng = random.Random(7)
+    import unicodedata
+
+    pool = []
+    while len(pool) < 600:
+        cp = rng.randrange(0x20, 0x2FA20)
+        ch = chr(cp)
+        if unicodedata.category(ch).startswith("C"):
+            continue
+        pool.append(ch)
+    for _ in range(300):
+        n = rng.randrange(1, 30)
+        t = "".join(rng.choice(pool) for _ in range(n))
+        if rng.random() < 0.3:
+            t = t.replace(t[rng.randrange(len(t))], "Σ")
+        assert cc.encode(t, max_len=64) == py.encode(t, max_len=64), repr(t)
 
 
 def test_adversarial_parity(pair):
