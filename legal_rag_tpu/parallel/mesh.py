@@ -27,3 +27,25 @@ def make_mesh(num_shards: Optional[int] = None, axis: str = "shard") -> Mesh:
             f"requested {num_shards} shards but only {len(devices)} devices"
         )
     return Mesh(np.array(devices[:num_shards]), (axis,))
+
+
+def make_mesh_2d(
+    data: int,
+    shards: int,
+    data_axis: str = "data",
+    shard_axis: str = "shard",
+) -> Mesh:
+    """A 2-D ``(data, shard)`` mesh: query batches shard over ``data``
+    (pure data parallelism — each row of chips serves its own queries)
+    while documents shard over ``shard`` within each row (the top-k
+    merge collective stays within a row). Lay the doc-shard axis minor
+    so its ``all_gather`` rides the fastest ICI links."""
+    devices = jax.devices()
+    need = data * shards
+    if need > len(devices):
+        raise ValueError(
+            f"requested {data}x{shards} mesh but only "
+            f"{len(devices)} devices"
+        )
+    grid = np.array(devices[:need]).reshape(data, shards)
+    return Mesh(grid, (data_axis, shard_axis))

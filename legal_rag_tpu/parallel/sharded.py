@@ -171,7 +171,7 @@ def _bm25_segment_stats(pids, pw, n_docs):
     jax.jit,
     static_argnames=(
         "mesh", "k", "c", "n_docs", "mode", "use_pallas", "precision",
-        "rrf_k", "block_n", "block_q", "sparse_mode",
+        "rrf_k", "block_n", "block_q", "sparse_mode", "data_axis",
     ),
 )
 def sharded_hybrid_search(
@@ -193,6 +193,7 @@ def sharded_hybrid_search(
     block_n: int = 1024,
     block_q: int = 8,
     sparse_mode: str = "auto",   # auto | scatter | segsum
+    data_axis: Optional[str] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Returns ``(fused [Q,k], ids [Q,k], sem [Q,k], keyword [Q,k])``.
 
@@ -200,10 +201,21 @@ def sharded_hybrid_search(
     ``mode='rrf'``: reciprocal-rank fusion of dense + sparse lists
     (sem/keyword outputs carry the per-list RRF contributions' source
     scores where defined, else 0).
+
+    ``data_axis``: on a 2-D ``(data, shard)`` mesh (make_mesh_2d), the
+    query batch additionally shards over this axis — pure data
+    parallelism on top of doc sharding. The doc matrix replicates
+    across ``data`` rows; the candidate-merge all_gather stays within a
+    row (the minor/fast ICI axis); no cross-row collectives exist. Q
+    must divide the data-axis size.
     """
     n_shards = mesh.shape[AXIS]
     n_local = docs_t.shape[1] // n_shards
-    q = q_emb.shape[0]
+    if data_axis is not None and q_emb.shape[0] % mesh.shape[data_axis]:
+        raise ValueError(
+            f"query batch {q_emb.shape[0]} must divide data axis "
+            f"size {mesh.shape[data_axis]}"
+        )
     if doc_scales is None:
         # dummy (unsharded-content-free) scales so the shard_map
         # signature is static; only the int8 path reads them
@@ -214,6 +226,7 @@ def sharded_hybrid_search(
     )
 
     def body(docs_local, scales_local, pids, pw, qe, w):
+        q = qe.shape[0]  # LOCAL query count (Q/data on a 2-D mesh)
         shard = jax.lax.axis_index(AXIS)
         base = (shard * n_local).astype(jnp.int32)
         qidx = jnp.arange(q, dtype=jnp.int32)[:, None]
@@ -327,13 +340,15 @@ def sharded_hybrid_search(
             key = jnp.zeros_like(f)
         return f, ids, sem, key
 
-    spec_sharded = P(None, AXIS)
-    rep = P(None, None)
+    dax = data_axis
+    spec_docs = P(None, AXIS)
+    spec_q2 = P(dax, None)   # [Q, ...] operands: data-sharded when 2-D
+    spec_q1 = P(dax)
     return shard_map(
         body,
         mesh=mesh,
-        in_specs=(spec_sharded, P(AXIS), rep, rep, rep, P(None)),
-        out_specs=(rep, rep, rep, rep),
+        in_specs=(spec_docs, P(AXIS), spec_q2, spec_q2, spec_q2, spec_q1),
+        out_specs=(spec_q2, spec_q2, spec_q2, spec_q2),
         check_vma=False,
     )(docs_t, doc_scales, post_ids, post_w, q_emb, weights)
 

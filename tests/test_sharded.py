@@ -223,3 +223,45 @@ def test_pallas_pad_docs_cannot_evict_negative_cosine(setup):
     dense = q_emb.astype(np.float64) @ docs.T.astype(np.float64)
     golden = np.argsort(-dense, axis=1, kind="stable")[:, :5]
     np.testing.assert_array_equal(ids, golden)
+
+@pytest.mark.parametrize("mode", ["weighted", "rrf"])
+def test_2d_mesh_data_parallel_matches_1d(setup, mode):
+    """A (data=2, shard=4) 2-D mesh — query batch sharded over rows,
+    docs over columns — returns exactly the 1-D doc-sharded results."""
+    from legal_rag_tpu.parallel.mesh import make_mesh_2d
+
+    docs, q_emb, bm25, post_ids, post_w, _ = setup
+    w = np.full(4, 0.5, dtype=np.float32)
+    kw = dict(k=5, c=10, n_docs=docs.shape[0], mode=mode)
+
+    mesh1 = make_mesh(4)
+    idx1 = ShardedIndex.from_embeddings(docs, mesh1)
+    f1, i1, s1, k1 = sharded_hybrid_search(
+        idx1.docs_t, jnp.asarray(post_ids), jnp.asarray(post_w),
+        jnp.asarray(q_emb), jnp.asarray(w), mesh=mesh1, **kw)
+
+    mesh2 = make_mesh_2d(2, 4)
+    idx2 = ShardedIndex.from_embeddings(docs, mesh2)
+    f2, i2, s2, k2 = sharded_hybrid_search(
+        idx2.docs_t, jnp.asarray(post_ids), jnp.asarray(post_w),
+        jnp.asarray(q_emb), jnp.asarray(w), mesh=mesh2,
+        data_axis="data", **kw)
+
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(k1), np.asarray(k2), rtol=1e-6)
+
+
+def test_2d_mesh_rejects_indivisible_batch(setup):
+    from legal_rag_tpu.parallel.mesh import make_mesh_2d
+
+    docs, q_emb, bm25, post_ids, post_w, _ = setup
+    mesh2 = make_mesh_2d(2, 4)
+    idx2 = ShardedIndex.from_embeddings(docs, mesh2)
+    with pytest.raises(ValueError, match="divide data axis"):
+        sharded_hybrid_search(
+            idx2.docs_t, jnp.asarray(post_ids[:3]), jnp.asarray(post_w[:3]),
+            jnp.asarray(q_emb[:3]), jnp.asarray(np.full(3, .5, np.float32)),
+            mesh=mesh2, data_axis="data", k=5, c=10,
+            n_docs=docs.shape[0],
+        )
