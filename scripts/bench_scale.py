@@ -1,13 +1,17 @@
 """Large-N dense backend shootout (reproducible; VERDICT r1 item 5).
 
 Synthetic [N, 384] corpus at N=1M (override BENCH_N), batch 64, k=10:
-- XLA dot+top_k (f32 and bf16) — the round-1 large-N incumbent,
-- dense_topk_twophase over a (block_n, block_q, seg_rows) sweep,
-- the fused running-top-k kernel (reference point; O(k*N) selection).
+XLA dot+top_k vs the two-phase Pallas segment-max kernel, bf16 storage.
+
+Measurement methodology (this matters on the shared TPU relay): the
+relay adds a large, *variable* per-dispatch overhead after big
+compiles (~25 ms observed), which swamps single-program wall times. So
+each backend is run R times INSIDE one jitted program (lax.map over a
+stacked query batch) — one relay round trip — and the per-iteration
+device time is the slope: (t(R) - t(1)) / (R - 1). Recall of every
+backend is checked against the bf16-XLA ranking.
 
 Run on the TPU:  python scripts/bench_scale.py
-Every backend's ids are checked against the bf16-XLA ranking (recall@k)
-so a fast-but-wrong configuration can't win.
 """
 
 import os
@@ -21,27 +25,36 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-from legal_rag_tpu.ops.dense import (
-    dense_topk_pallas, dense_topk_twophase, dense_topk_xla,
-)
+from legal_rag_tpu.ops.dense import dense_topk_twophase
 
 N = int(os.environ.get("BENCH_N", 1_000_000))
 D, Q, K = 384, 64, 10
-REPEATS = int(os.environ.get("BENCH_REPEATS", 8))
+R = int(os.environ.get("BENCH_R", 8))
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def timeit(fn, *args):
+def wall(fn, *args):
     out = fn(*args)
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(REPEATS):
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
         out = fn(*args)
         jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / REPEATS, out
+        best = min(best, time.perf_counter() - t0)
+    return best, out
+
+
+def slope(make_fn, qstack1, qstackR):
+    """Per-iteration device time via the in-program loop."""
+    fn1 = jax.jit(lambda qs, d: jax.lax.map(lambda q: make_fn(q, d), qs))
+    t1, out1 = wall(fn1, qstack1[0], qstack1[1])
+    tR, outR = wall(fn1, qstackR[0], qstackR[1])
+    n1, nR = qstack1[0].shape[0], qstackR[0].shape[0]
+    return (tR - t1) / (nR - n1), t1, out1
 
 
 def recall(ids, ref_ids):
@@ -53,76 +66,61 @@ def recall(ids, ref_ids):
 
 
 def main():
-    log(f"devices: {jax.devices()}  N={N} D={D} Q={Q} k={K}")
+    log(f"devices: {jax.devices()}  N={N} D={D} Q={Q} k={K} R={R}")
     rng = np.random.default_rng(0)
     docs = rng.standard_normal((N, D)).astype(np.float32)
     docs /= np.linalg.norm(docs, axis=1, keepdims=True)
-    q = rng.standard_normal((Q, D)).astype(np.float32)
-    q /= np.linalg.norm(q, axis=1, keepdims=True)
-
-    d_q32 = jnp.asarray(q)
-    d_docs32 = jnp.asarray(docs)              # [N, D] for the XLA path
-    d_docs_t16 = jnp.asarray(docs.T, dtype=jnp.bfloat16)
-    d_q16 = jnp.asarray(q, dtype=jnp.bfloat16)
+    q = rng.standard_normal((R, Q, D)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=2, keepdims=True)
+    q16 = jnp.asarray(q, jnp.bfloat16)
+    d_docs16 = jnp.asarray(docs, jnp.bfloat16)       # [N, D] for XLA
+    d_docs_t16 = jnp.asarray(docs.T, jnp.bfloat16)   # [D, N] for pallas
     del docs
 
-    results = {}
+    gbytes = N * D * 2 / 1e9
 
-    # --- XLA incumbents
-    dt, out = timeit(
-        lambda: dense_topk_xla(d_q32, d_docs32, K,
-                               precision=jax.lax.Precision.DEFAULT)
-    )
-    results["xla_f32stor_bf16pass"] = dt
-    log(f"xla f32-storage bf16-pass: {dt*1e3:7.2f} ms/batch")
-
-    d_docs16 = jnp.asarray(d_docs32, dtype=jnp.bfloat16)
-    del d_docs32
-    dt, ref_out = timeit(
-        lambda: dense_topk_xla(d_q16, d_docs16, K,
-                               precision=jax.lax.Precision.DEFAULT)
-    )
-    results["xla_bf16"] = dt
-    ref_ids = np.asarray(ref_out[1])
-    log(f"xla bf16:                  {dt*1e3:7.2f} ms/batch (reference ids)")
-    del d_docs16
-
-    # --- two-phase sweep (bf16 storage, fp32 accumulation)
-    for block_n in (2048, 4096, 8192):
-        for block_q in (8, 32, 64):
-            for seg_rows in (2, 4, 8, 16):
-                if block_n % (seg_rows * 128):
-                    continue
-                name = f"twophase bn={block_n} bq={block_q} sr={seg_rows}"
-                try:
-                    dt, out = timeit(
-                        lambda bn=block_n, bq=block_q, sr=seg_rows:
-                        dense_topk_twophase(
-                            d_q16, d_docs_t16, K, block_n=bn, block_q=bq,
-                            seg_rows=sr,
-                            precision=jax.lax.Precision.DEFAULT,
-                        )
-                    )
-                except Exception as e:  # noqa: BLE001
-                    log(f"{name:<38} FAILED: {type(e).__name__}: {e}")
-                    continue
-                r = recall(out[1], ref_ids)
-                results[name] = dt
-                log(f"{name:<38} {dt*1e3:7.2f} ms/batch  recall={r:.4f}")
-
-    # --- fused running-top-k (reference point; expected to lose big)
-    if os.environ.get("BENCH_FUSED") == "1":
-        dt, out = timeit(
-            lambda: dense_topk_pallas(
-                d_q16, d_docs_t16, K, block_n=4096, block_q=8,
-                precision=jax.lax.Precision.DEFAULT,
-            )
+    def xla_one(qq, d):
+        scores = jnp.dot(
+            qq, d.T, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
         )
-        log(f"fused running-top-k:       {dt*1e3:7.2f} ms/batch "
-            f"recall={recall(out[1], ref_ids):.4f}")
+        s, i = jax.lax.top_k(scores, K)
+        return s, i.astype(jnp.int32)
+
+    dt, t1, out = slope(
+        xla_one, (q16[:1], d_docs16), (q16, d_docs16)
+    )
+    ref_ids = np.asarray(out[1][0])
+    log(f"xla bf16:      {dt*1e3:7.2f} ms/iter device "
+        f"({gbytes/dt:5.0f} GB/s eff)  [1-iter wall {t1*1e3:.1f} ms]")
+    results = {"xla_bf16": dt}
+
+    for block_n, block_q, seg_rows in (
+        (8192, 64, 8), (8192, 64, 16), (4096, 64, 8), (8192, 64, 4),
+    ):
+        if block_n % (seg_rows * 128):
+            continue
+        name = f"twophase bn={block_n} bq={block_q} sr={seg_rows}"
+        try:
+            def tp_one(qq, d, bn=block_n, bq=block_q, sr=seg_rows):
+                return dense_topk_twophase(
+                    qq, d, K, block_n=bn, block_q=bq, seg_rows=sr,
+                    precision=jax.lax.Precision.DEFAULT,
+                )
+
+            dt, t1, out = slope(
+                tp_one, (q16[:1], d_docs_t16), (q16, d_docs_t16)
+            )
+            r = recall(out[1][0], ref_ids)
+            log(f"{name}: {dt*1e3:7.2f} ms/iter device "
+                f"({gbytes/dt:5.0f} GB/s eff)  recall={r:.4f} "
+                f"[1-iter wall {t1*1e3:.1f} ms]")
+            results[name] = dt
+        except Exception as e:  # noqa: BLE001
+            log(f"{name}: FAILED {type(e).__name__}: {str(e)[:160]}")
 
     best = min(results, key=results.get)
-    log(f"\nWINNER: {best} at {results[best]*1e3:.2f} ms/batch")
+    log(f"\nWINNER: {best} at {results[best]*1e3:.2f} ms/iter device time")
 
 
 if __name__ == "__main__":
