@@ -153,7 +153,27 @@ def _cmd_eval_retrieval(args) -> int:
             cells = "  ".join(f"{k}={v:.3f}" for k, v in m.items())
             print(f"  {mode:<9} {cells}")
 
-    if args.finetune_steps:
+    if args.rerank_steps:
+        from legal_rag_tpu.evaluation import evaluate_rerank
+        from legal_rag_tpu.models.cross_encoder import (
+            CrossEncoder, train_cross_encoder,
+        )
+        from legal_rag_tpu.retrieval.engine import RetrievalEngine
+
+        engine = RetrievalEngine(store)
+        ce = CrossEncoder(engine.encoder)
+        train_cross_encoder(
+            ce, [c["text"] for c in store.chunks],
+            steps=args.rerank_steps, log_fn=print,
+        )
+        pairs = labeled_pairs_from_chunks(
+            store.chunks, max_pairs=args.max_pairs
+        )
+        print(f"{len(pairs)} labeled structure queries")
+        report = evaluate_rerank(store, pairs, ce, engine=engine)
+        show(f"rerank over {report['base_mode']} top-"
+             f"{report['candidates']}:", report["modes"])
+    elif args.finetune_steps:
         report = compare_encoders(
             store.chunks,
             finetune_steps=args.finetune_steps,
@@ -223,6 +243,11 @@ def main(argv=None) -> int:
     p.add_argument(
         "--finetune-steps", type=int, default=0,
         help="also run the random-vs-fine-tuned encoder ablation",
+    )
+    p.add_argument(
+        "--rerank-steps", type=int, default=0,
+        help="train a cross-encoder reranker for N steps and report "
+             "base-vs-reranked recall/MRR",
     )
     p.set_defaults(fn=_cmd_eval_retrieval)
 

@@ -231,3 +231,47 @@ def compare_encoders(
         "random_encoder": base_report["modes"],
         "finetuned_encoder": tuned_report["modes"],
     }
+
+
+def evaluate_rerank(
+    store,
+    pairs: Sequence[Tuple[str, Sequence[int]]],
+    reranker,
+    base_mode: str = "rrf",
+    candidates: int = 20,
+    ks: Sequence[int] = (1, 5, 10),
+    config: RetrievalConfig = DEFAULT_CONFIG,
+    engine=None,
+) -> Dict:
+    """Cross-encoder rerank stage on top of a base retrieval mode:
+    retrieve top-``candidates`` with ``base_mode``, rerank them jointly
+    (models/cross_encoder.py), report recall@k / MRR before vs after.
+    """
+    from legal_rag_tpu.retrieval.engine import RetrievalEngine
+
+    engine = engine or RetrievalEngine(store, config=config)
+    queries = [q for q, _ in pairs]
+    relevants = [rel for _, rel in pairs]
+    c = min(candidates, store.n_docs)
+    kmax = min(max(ks), c)
+
+    base = engine.search_batch(queries, k=c, mode=base_mode)
+    base_ids = np.full((len(queries), c), -1, dtype=np.int64)
+    rer_ids = np.full((len(queries), c), -1, dtype=np.int64)
+    for qi, (query, rows) in enumerate(zip(queries, base)):
+        ids = [r.doc_id for r in rows]
+        base_ids[qi, : len(ids)] = ids
+        if not ids:
+            continue
+        texts = [store.chunks[d]["text"] for d in ids]
+        order = reranker.rerank(query, texts)
+        rer_ids[qi, : len(order)] = [ids[j] for j in order]
+
+    out = {"n_queries": len(queries), "base_mode": base_mode,
+           "candidates": c, "modes": {}}
+    for name, ranked in (("base", base_ids), ("reranked", rer_ids)):
+        entry = {f"recall@{k}": recall_at_k(ranked, relevants, k)
+                 for k in ks if k <= c}
+        entry["mrr"] = mrr_at_k(ranked, relevants, kmax)
+        out["modes"][name] = entry
+    return out

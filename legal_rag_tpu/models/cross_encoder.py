@@ -1,0 +1,202 @@
+"""Cross-encoder reranker: joint (query, document) scoring.
+
+A capability beyond the reference (whose ranking is bi-encoder + BM25
+only, retrieval_engine.py:59-96): the query and a candidate document
+run through ONE BERT forward as a ``[CLS] q [SEP] d [SEP]`` pair with
+segment ids, and a linear head on the [CLS] state emits a relevance
+score. Joint attention sees query-document token interactions that no
+single-vector dot product can — the standard precision stage on top of
+a fast candidate retriever.
+
+TPU shape discipline: pairs pad to power-of-two length buckets (shared
+``pad_and_bucket`` contract) and candidates per query pad to a fixed C,
+so reranking a batch is one jitted ``[B*C, L]`` forward regardless of
+ragged candidate counts.
+
+Training reuses the corpus span-pair generator (models/finetune.py):
+each batch row is a pseudo-query with its source chunk as positive;
+the OTHER rows' positives serve as in-batch negatives under a listwise
+softmax — the cross-encoder analogue of the bi-encoder's InfoNCE.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from legal_rag_tpu.config import EncoderConfig
+from legal_rag_tpu.models.encoder import SentenceEncoder
+from legal_rag_tpu.models.minilm import minilm_hidden_states
+from legal_rag_tpu.models.wordpiece import pad_and_bucket
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "precision"))
+def cross_encode_scores(
+    params,                  # {"trunk": MiniLMParams, "head": {"w","b"}}
+    input_ids: jax.Array,    # [B, L] pair-encoded
+    attention_mask: jax.Array,
+    token_type_ids: jax.Array,
+    cfg: EncoderConfig,
+    precision=jax.lax.Precision.HIGHEST,
+) -> jax.Array:
+    """Relevance score per pair: linear head on the [CLS] state."""
+    hidden = minilm_hidden_states(
+        params["trunk"], input_ids, attention_mask, cfg,
+        precision=precision, token_type_ids=token_type_ids,
+    )
+    cls = hidden[:, 0]
+    return cls @ params["head"]["w"] + params["head"]["b"]
+
+
+class CrossEncoder:
+    """Pair scorer sharing the bi-encoder's trunk and tokenizer."""
+
+    def __init__(self, encoder: SentenceEncoder, seed: int = 0):
+        self.cfg = encoder.cfg
+        self.tokenizer = encoder.tokenizer
+        rng = np.random.default_rng(seed)
+        head = {
+            "w": jnp.asarray(
+                (0.02 * rng.standard_normal(self.cfg.hidden)).astype(
+                    np.float32
+                )
+            ),
+            "b": jnp.zeros((), jnp.float32),
+        }
+        self.params = {"trunk": encoder.params, "head": head}
+
+    # -- pair encoding -------------------------------------------------------
+
+    def encode_pairs(
+        self,
+        queries: Sequence[str],
+        docs: Sequence[str],
+        max_len: Optional[int] = None,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """``[CLS] q [SEP] d [SEP]`` ids + mask + segment ids, padded to
+        a shared pow2 length bucket. The query keeps at most half the
+        budget so the document is never squeezed out."""
+        tok = self.tokenizer
+        max_len = max_len or min(self.cfg.max_len, 256)
+        q_budget = max_len // 2 - 2
+        encoded, types = [], []
+        for q, d in zip(queries, docs):
+            q_ids = tok.encode(q, max_len=max_len, add_special=False)
+            q_ids = q_ids[:q_budget]
+            d_cap = max_len - len(q_ids) - 3
+            d_ids = tok.encode(d, max_len=max_len, add_special=False)[:d_cap]
+            ids = (
+                [tok.cls_id] + q_ids + [tok.sep_id] + d_ids + [tok.sep_id]
+            )
+            encoded.append(ids)
+            types.append([0] * (len(q_ids) + 2) + [1] * (len(d_ids) + 1))
+        ids, mask = pad_and_bucket(encoded, max_len, tok.pad_id)
+        tt = np.zeros_like(ids)
+        for i, t in enumerate(types):
+            t = t[: ids.shape[1]]
+            tt[i, : len(t)] = t
+        return ids, mask, tt
+
+    # -- scoring -------------------------------------------------------------
+
+    def score_pairs(
+        self, queries: Sequence[str], docs: Sequence[str]
+    ) -> np.ndarray:
+        ids, mask, tt = self.encode_pairs(queries, docs)
+        return np.asarray(
+            cross_encode_scores(
+                self.params, jnp.asarray(ids), jnp.asarray(mask),
+                jnp.asarray(tt), self.cfg,
+            )
+        )
+
+    def rerank(
+        self,
+        query: str,
+        docs: Sequence[str],
+        top_m: Optional[int] = None,
+    ) -> List[int]:
+        """Indices of ``docs`` reordered by joint relevance (desc,
+        stable)."""
+        scores = self.score_pairs([query] * len(docs), list(docs))
+        order = np.argsort(-scores, kind="stable")
+        return order[: top_m or len(docs)].tolist()
+
+
+def make_ce_train_step(cfg: EncoderConfig, optimizer):
+    """Listwise in-batch training step: row i's positive is doc i; all
+    other rows' docs are its negatives. One [B*B, L] pair forward per
+    step (B small), softmax CE on the diagonal."""
+
+    @functools.partial(jax.jit, static_argnames=())
+    def step(params, opt_state, ids, mask, tt):
+        b2 = ids.shape[0]
+        b = int(np.sqrt(b2))
+
+        def loss_fn(p):
+            scores = cross_encode_scores(
+                p, ids, mask, tt, cfg,
+                precision=jax.lax.Precision.DEFAULT,
+            ).reshape(b, b)                      # [query, doc]
+            logp = jax.nn.log_softmax(scores, axis=1)
+            return -jnp.mean(jnp.diag(logp))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+def train_cross_encoder(
+    ce: CrossEncoder,
+    texts: Sequence[str],
+    steps: int = 100,
+    batch_size: int = 8,
+    learning_rate: float = 2e-5,
+    max_len: int = 128,
+    seed: int = 0,
+    log_fn=None,
+) -> List[float]:
+    """In-place listwise training on corpus span pairs. ``batch_size``
+    queries per step -> ``batch_size**2`` pair forwards; keep it small.
+    """
+    from legal_rag_tpu.models.finetune import make_pairs
+
+    rng = np.random.default_rng(seed)
+    stream = make_pairs(texts, rng)
+    optimizer = optax.adamw(learning_rate)
+    opt_state = optimizer.init(ce.params)
+    step = make_ce_train_step(ce.cfg, optimizer)
+    max_len = min(max_len, ce.cfg.max_len)
+
+    losses: List[float] = []
+    for i in range(steps):
+        queries, docs = zip(*(next(stream) for _ in range(batch_size)))
+        # full B x B pair grid, row-major (query major)
+        grid_q = [q for q in queries for _ in range(batch_size)]
+        grid_d = [d for _ in range(batch_size) for d in docs]
+        ids, mask, tt = ce.encode_pairs(grid_q, grid_d, max_len=max_len)
+        # fixed-length batches: one executable across sampled texts
+        full = np.full(
+            (ids.shape[0], max_len), ce.tokenizer.pad_id, np.int32
+        )
+        full[:, : ids.shape[1]] = ids
+        fm = np.zeros_like(full)
+        fm[:, : mask.shape[1]] = mask
+        ft = np.zeros_like(full)
+        ft[:, : tt.shape[1]] = tt
+        ce.params, opt_state, loss = step(
+            ce.params, opt_state,
+            jnp.asarray(full), jnp.asarray(fm), jnp.asarray(ft),
+        )
+        losses.append(float(loss))
+        if log_fn and (i % 20 == 0 or i == steps - 1):
+            log_fn(f"ce step {i}: loss {losses[-1]:.4f}")
+    return losses

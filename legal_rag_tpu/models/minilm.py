@@ -81,15 +81,23 @@ def minilm_hidden_states(
     attention_mask: jax.Array,  # [B, L] int32/float
     cfg: EncoderConfig,
     precision=jax.lax.Precision.HIGHEST,
+    token_type_ids: "jax.Array | None" = None,  # [B, L]; None = all 0
 ) -> jax.Array:
-    """Full BERT encoder -> last hidden states ``[B, L, H]`` (f32)."""
+    """Full BERT encoder -> last hidden states ``[B, L, H]`` (f32).
+
+    ``token_type_ids`` distinguishes the two segments of a pair input
+    (cross-encoder scoring); single-text encoding leaves it None."""
     b, l = input_ids.shape
     emb = params["embeddings"]
     positions = jnp.arange(l, dtype=jnp.int32)[None, :]
+    if token_type_ids is None:
+        token_type_ids = jnp.zeros_like(input_ids)
+    # random-init tables are 2-row; HF MiniLM's is too — clip defensively
+    tt = jnp.clip(token_type_ids, 0, emb["token_type"].shape[0] - 1)
     x = (
         emb["word"][input_ids]
         + emb["position"][positions]
-        + emb["token_type"][jnp.zeros_like(input_ids)]
+        + emb["token_type"][tt]
     )
     x = _layer_norm(x, emb["ln"], cfg.layer_norm_eps)
 

@@ -1,0 +1,107 @@
+"""Cross-encoder reranker: pair encoding, scoring shapes, listwise
+training, and rerank-improves-ranking on a separable toy task."""
+
+import numpy as np
+import pytest
+
+from legal_rag_tpu.config import RetrievalConfig, EncoderConfig
+from legal_rag_tpu.models.cross_encoder import (
+    CrossEncoder, train_cross_encoder,
+)
+from legal_rag_tpu.models.encoder import SentenceEncoder
+
+CFG = EncoderConfig(
+    vocab_size=600, hidden=32, layers=1, heads=4,
+    intermediate=64, max_len=64,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.default_rng(3)
+    words = [f"tok{i}" for i in range(40)]
+    texts = []
+    for i in range(12):
+        own = words[3 * (i % 13) : 3 * (i % 13) + 3]
+        texts.append(" ".join(list(own) * 4))
+    return texts
+
+
+@pytest.fixture(scope="module")
+def ce(corpus):
+    enc = SentenceEncoder(cfg=CFG, vocab_corpus=corpus)
+    return CrossEncoder(enc, seed=0)
+
+
+def test_pair_encoding_structure(ce):
+    ids, mask, tt = ce.encode_pairs(
+        ["tok0 tok1", "tok3"], ["tok0 tok0 tok1", "tok9 tok10"]
+    )
+    assert ids.shape == mask.shape == tt.shape
+    tok = ce.tokenizer
+    for row_ids, row_mask, row_tt in zip(ids, mask, tt):
+        real = row_ids[row_mask > 0]
+        assert real[0] == tok.cls_id
+        assert (real == tok.sep_id).sum() == 2
+        # segment 0 covers [CLS]+query+[SEP], segment 1 the doc+[SEP]
+        n_real = int(row_mask.sum())
+        seg = row_tt[:n_real]
+        flip = int(np.argmax(seg))       # first 1
+        assert (seg[:flip] == 0).all() and (seg[flip:] == 1).all()
+        # padding is type 0
+        assert (row_tt[n_real:] == 0).all()
+
+
+def test_query_never_squeezes_out_doc(ce):
+    ids, mask, tt = ce.encode_pairs(
+        ["tok0 " * 200], ["tok5 tok6 tok7"], max_len=64
+    )
+    # the doc segment survives truncation
+    assert (tt[0][mask[0] > 0] == 1).sum() >= 4
+
+
+def test_scores_and_rerank_shapes(ce, corpus):
+    s = ce.score_pairs(["tok0 tok1"] * 3, corpus[:3])
+    assert s.shape == (3,)
+    order = ce.rerank("tok0 tok1 tok2", corpus[:5])
+    assert sorted(order) == list(range(5))
+
+
+def test_listwise_training_learns_toy_relevance(corpus):
+    enc = SentenceEncoder(cfg=CFG, vocab_corpus=corpus)
+    ce = CrossEncoder(enc, seed=0)
+    losses = train_cross_encoder(
+        ce, corpus, steps=120, batch_size=4, learning_rate=1e-3,
+        max_len=32, seed=0,
+    )
+    assert np.mean(losses[-5:]) < 0.8 * np.mean(losses[:5])
+    # after training, the matching doc ranks clearly above chance:
+    # random MRR over 12 docs is ~0.26; measured ~0.52 at these params
+    rr = []
+    for i in range(12):
+        own = corpus[i].split()[0:3]
+        order = ce.rerank(" ".join(own), corpus)
+        rr.append(1.0 / (order.index(i) + 1))
+    assert np.mean(rr) > 0.38
+
+
+def test_evaluate_rerank_report(corpus):
+    from legal_rag_tpu.evaluation import evaluate_rerank
+    from legal_rag_tpu.index.builder import build_index
+
+    chunks = [
+        {"text": f"H\n\n{t}", "canonical_header": "H",
+         "metadata": {"law": "BNS", "section": str(i),
+                      "section_title": f"Topic number {i}"}}
+        for i, t in enumerate(corpus)
+    ]
+    rcfg = RetrievalConfig(encoder=CFG)
+    store = build_index(chunks, config=rcfg)
+    enc = SentenceEncoder(cfg=CFG, vocab_corpus=[c["text"] for c in chunks])
+    ce = CrossEncoder(enc)
+    pairs = [(corpus[i].split()[0], [i]) for i in range(4)]
+    report = evaluate_rerank(store, pairs, ce, candidates=8, ks=(1, 5),
+                             config=rcfg)
+    assert set(report["modes"]) == {"base", "reranked"}
+    for m in report["modes"].values():
+        assert 0.0 <= m["mrr"] <= 1.0
