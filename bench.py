@@ -233,7 +233,7 @@ def main():
         return (time.perf_counter() - t0) / 10
 
     best_sync = best_pipe = float("inf")
-    for attempt in range(3):
+    for attempt in range(2):
         floor = dispatch_floor()
         log(f"attempt {attempt}: dispatch floor {floor*1e3:.2f} ms")
 
@@ -244,24 +244,74 @@ def main():
         best_sync = min(best_sync, (time.perf_counter() - t0) / REPEATS)
 
         # pipelined throughput (queue depth > 1): dispatch all batches,
-        # block once — the serving-relevant number
+        # then host-fetch the LAST result — TPU programs execute
+        # in-order, so this is a true sync even on the relay tunnel
+        # where bare block_until_ready can return early (BASELINE.md
+        # measurement notes)
         pipe_n = REPEATS * 5
         t0 = time.perf_counter()
         outs = [device_run(use_pallas) for _ in range(pipe_n)]
-        jax.block_until_ready(outs)
+        np.asarray(outs[-1][0])
         best_pipe = min(best_pipe, (time.perf_counter() - t0) / pipe_n)
 
         if floor < 1e-3 and best_pipe < 1e-3:
             break  # healthy measurement banked
-        if attempt < 2:
-            time.sleep(45)  # let the relay recover before retrying
+        if attempt == 0:
+            time.sleep(30)  # let the relay recover before retrying
 
     sync_dt, pipe_dt = best_sync, best_pipe
-    dev_dt = min(sync_dt, pipe_dt)
+
+    # Sustained device throughput via the in-program loop (the slope
+    # method, scripts/bench_scale.py): run the search r times inside
+    # ONE jitted fori_loop — the relay round trip (healthy ~0.03 ms,
+    # degraded 8–40 ms) is paid once per call and cancels in
+    # (t(r2) - t(r1)) / (r2 - r1). This is the number of record: it
+    # measures the chip, and on a healthy link the direct pipelined
+    # measurement above converges to the same value (cross-check).
+    slope_dt = float("inf")
+    try:
+        def loop_program(r):
+            def step(i, acc):
+                # the i-dependence stops XLA hoisting the body out of
+                # the loop; numerically a no-op (1 + i*1e-30 == 1.0)
+                qq = d_q * (1.0 + i.astype(jnp.float32) * 1e-30)
+                f, ids, _, _ = sharded_hybrid_search(
+                    index.docs_t, d_post_ids, d_post_w, qq, d_w,
+                    mesh=mesh, k=K, c=2 * K, n_docs=store.n_docs,
+                    mode="weighted", use_pallas=use_pallas,
+                )
+                return acc + f.sum() + ids.sum().astype(jnp.float32)
+            return jax.lax.fori_loop(0, r, step, jnp.float32(0.0))
+
+        loop_jit = jax.jit(loop_program)
+        r1, r2 = 64, 4096
+
+        def timed(r):
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(loop_jit(r))   # host fetch = true sync
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        float(loop_jit(r1))  # compile once (dynamic trip count)
+        t_r1, t_r2 = timed(r1), timed(r2)
+        slope_dt = (t_r2 - t_r1) / (r2 - r1)
+        log(f"slope method: t({r1})={t_r1*1e3:.1f} ms t({r2})="
+            f"{t_r2*1e3:.1f} ms -> {slope_dt*1e6:.1f} us/batch device")
+        if slope_dt <= 0:
+            slope_dt = float("inf")
+    except Exception as e:  # noqa: BLE001
+        log(f"slope measurement failed ({type(e).__name__}: {e}); "
+            f"falling back to direct pipelined timing")
+
+    # number of record: the slope (pure device time) when it measured;
+    # the direct wall numbers are diagnostics/cross-checks
+    dev_dt = slope_dt if slope_dt != float("inf") else min(sync_dt, pipe_dt)
     dev_qps = Q_BATCH / dev_dt
     log(f"device ({platform}, pallas={use_pallas}): sync "
         f"{sync_dt*1e3:.2f} ms/batch, pipelined {pipe_dt*1e3:.2f} "
-        f"ms/batch -> {dev_qps:.0f} QPS")
+        f"ms/batch, slope {slope_dt*1e3:.3f} ms/batch -> {dev_qps:.0f} QPS")
     metrics["dev_qps"] = dev_qps
 
     # single-query p50 — already compiled above; measured with the same
@@ -271,7 +321,7 @@ def main():
     # (VERDICT r1 item 4: healthy p50 <= 2 ms or a loud diagnostic).
     best_p50 = best_p90 = float("inf")
     floors = []
-    for attempt in range(3):
+    for attempt in range(2):
         floor = dispatch_floor()
         floors.append(floor)
         for _ in range(10):
@@ -286,11 +336,44 @@ def main():
             best_p50, best_p90 = p50, float(np.percentile(lat, 90))
         if floor < 1e-3 and best_p50 < 2e-3:
             break
-        if attempt < 2:
+        if attempt == 0:
             log(f"single-query attempt {attempt}: p50 {p50*1e3:.2f} ms at "
                 f"dispatch floor {floor*1e3:.2f} ms — waiting for the "
                 f"relay to recover")
-            time.sleep(45)
+            time.sleep(30)
+
+    # device-side single-query latency via the same slope method: the
+    # honest chip number even when the relay's per-dispatch overhead
+    # dominates the wall p50.
+    try:
+        def sq_loop(r):
+            def step(i, acc):
+                qq = sq[0] * (1.0 + i.astype(jnp.float32) * 1e-30)
+                f, ids, _, _ = sharded_hybrid_search(
+                    index.docs_t, sq[1], sq[2], qq, sw,
+                    mesh=mesh, k=K, c=2 * K, n_docs=store.n_docs,
+                    mode="weighted", use_pallas=use_pallas,
+                )
+                return acc + f.sum() + ids.sum().astype(jnp.float32)
+            return jax.lax.fori_loop(0, r, step, jnp.float32(0.0))
+
+        sq_jit = jax.jit(sq_loop)
+        float(sq_jit(64))
+
+        def sq_timed(r):
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(sq_jit(r))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        sq_dt = (sq_timed(4096) - sq_timed(64)) / (4096 - 64)
+        log(f"single-query device time (slope): {sq_dt*1e6:.1f} us")
+        metrics["single_device_ms"] = sq_dt * 1e3
+    except Exception as e:  # noqa: BLE001
+        log(f"single-query slope failed: {type(e).__name__}: {e}")
+
     log(f"single-query p50: {best_p50*1e3:.2f} ms (p90 {best_p90*1e3:.2f} ms)")
     metrics["single_p50_ms"] = best_p50 * 1e3
     if best_p50 >= 2e-3:
@@ -299,8 +382,9 @@ def main():
             f"dispatch floors {[f'{f*1e3:.2f}' for f in floors]} ms "
             f"(healthy ~0.03 ms) — the TPU relay stayed in its degraded "
             f"dispatch mode across all retries; the latency is tunnel "
-            f"overhead, not chip compute (batch-64 sync above ran "
-            f"{sync_dt*1e3:.2f} ms for 8x the work)"
+            f"overhead, not chip compute (device-side single-query time "
+            f"by the slope method: "
+            f"{metrics.get('single_device_ms', float('nan'))*1e3:.0f} us)"
         )
 
     # Everything below refines the report; the headline number is
