@@ -21,7 +21,9 @@ class DenseConfig:
     dtype: str = "float32"          # doc matrix dtype: float32 | bfloat16 | int8
     block_n: int = 1024             # Pallas: docs per grid step
     block_q: int = 8                # Pallas: queries per grid step (fp32 sublane)
-    use_pallas: bool = True         # fused kernel vs plain XLA dot+top_k
+    use_pallas: bool = True  # permit Pallas paths where measured to win
+                             # (dense top-C always rides XLA since the
+                             # r2 shootout; see parallel/sharded.py)
     int8_rescore: bool = True       # exact fp32 rescore of int8 candidates
     int8_oversample: int = 4        # candidate oversampling factor for rescore
 

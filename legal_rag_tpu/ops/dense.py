@@ -3,15 +3,21 @@
 TPU-native replacement for FAISS ``IndexFlatIP`` exact inner-product
 search (reference create_vector_store.py:55-56, retrieval_engine.py:64).
 
-Two interchangeable backends with identical semantics:
+Three interchangeable backends with identical semantics:
 
-- :func:`dense_topk_xla` — plain ``jnp.dot`` + ``jax.lax.top_k``. XLA
-  fuses well at small N; materializes the full ``[Q, N]`` score matrix.
-- :func:`dense_topk_pallas` — a Pallas kernel that streams document
-  blocks through VMEM, keeps a running top-k per query in scratch, and
-  never writes the ``[Q, N]`` scores to HBM. This is the path that
-  scales to millions of documents per chip: HBM traffic is exactly one
-  read of the document matrix.
+- :func:`dense_topk_xla` — plain ``jnp.dot`` + ``jax.lax.top_k``;
+  materializes the full ``[Q, N]`` score matrix. Slope-measured on
+  v5e this is the FASTEST path at every corpus size that fits in HBM
+  (BASELINE.md round-2 shootout) — the production dispatch.
+- :func:`dense_topk_pallas` — fused matmul + running top-k that never
+  writes ``[Q, N]`` scores to HBM. Its selection is O(k·N) VPU work,
+  which loses to XLA everywhere on v5e (2.7x at N=2.7k, 11x at 65k);
+  kept as an explicit opt-in for its minimal-memory property and as
+  the reference in-kernel selection implementation.
+- :func:`dense_topk_twophase` — Pallas segment-max sweep + tiny XLA
+  refine; its intermediate is ``seg_rows`` times smaller than the
+  score matrix, so it takes over automatically when ``[Q, N]`` would
+  crowd HBM (``_SCORE_MATRIX_BUDGET_BYTES`` in parallel/sharded.py).
 
 Semantics (pinned by tests/test_dense.py against a numpy brute-force
 golden, which is the same math FAISS flat performs):
@@ -267,7 +273,7 @@ def dense_topk_pallas(
 
 
 def _segmax_kernel(
-    q_ref, d_ref, m_ref, *, block_n, seg_rows, n_real, precision,
+    nv_ref, q_ref, d_ref, m_ref, *, block_n, seg_rows, n_real, precision,
 ):
     """Phase 1: per (query-block, doc-block) grid step, reduce the
     [BQ, BN] score tile to per-*segment* maxima (a segment =
@@ -285,7 +291,12 @@ def _segmax_kernel(
     )
     base = j * block_n
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + base
-    s = jnp.where(col < n_real, s, _NEG_F32)
+    # mask both the static width padding (n_real) and the caller's
+    # dynamic valid count (nv_ref — e.g. global zero-pad docs on a
+    # mesh's last shard, whose 0.0 scores would otherwise evict real
+    # negative-cosine candidates from the segment maxima)
+    limit = jnp.minimum(n_real, nv_ref[0])
+    s = jnp.where(col < limit, s, _NEG_F32)
 
     bq, bn = s.shape
     groups = bn // (seg_rows * 128)
@@ -312,6 +323,7 @@ def dense_topk_twophase(
     docs_t: jax.Array,
     k: int,
     *,
+    n_valid: "Optional[jax.Array]" = None,
     block_n: int = 1024,
     block_q: int = 8,      # for batch search use block_q >= Q so the
                            # doc matrix streams through VMEM exactly ONCE
@@ -336,6 +348,10 @@ def dense_topk_twophase(
     [Q, K', D] gather of exactly those segments' document columns, an
     exact rescore matmul, and a two-key sort for (score desc, id asc)
     final ordering — identical semantics to the other backends.
+
+    ``n_valid``: optional dynamic scalar — only columns ``< n_valid``
+    compete (mesh callers pass their slice of the global doc count so
+    zero-pad docs can't evict real negative-cosine candidates).
     """
     q, d = queries.shape
     d2, n = docs_t.shape
@@ -352,6 +368,9 @@ def dense_topk_twophase(
     groups = block_n // (seg_rows * 128)
     segs_per_block = groups * 128
 
+    nv = jnp.reshape(
+        jnp.asarray(n if n_valid is None else n_valid, jnp.int32), (1,)
+    )
     kernel = functools.partial(
         _segmax_kernel, block_n=block_n, seg_rows=seg_rows, n_real=n,
         precision=precision,
@@ -360,6 +379,7 @@ def dense_topk_twophase(
         kernel,
         grid=(qp // block_q, nb),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((block_q, d), lambda i, j: (i, 0)),
             pl.BlockSpec((d, block_n), lambda i, j: (0, j)),
         ],
@@ -370,7 +390,7 @@ def dense_topk_twophase(
             (qp, nb * segs_per_block), jnp.float32
         ),
         interpret=interpret,
-    )(queries_p, docs_p)
+    )(nv, queries_p, docs_p)
 
     # phase 2: segment selection (+ tie oversample), gather, rescore
     kk = min(k + _TIE_OVERSAMPLE, nb * segs_per_block)
@@ -397,7 +417,8 @@ def dense_topk_twophase(
         gathered.astype(jnp.float32),
         precision=precision,
     )
-    scores = jnp.where(cand_flat < n, scores, -jnp.inf)
+    limit = jnp.minimum(jnp.int32(n), nv[0])
+    scores = jnp.where(cand_flat < limit, scores, -jnp.inf)
 
     # exact (score desc, id asc) ordering via two-key sort
     neg_s, ids_sorted = jax.lax.sort(
@@ -408,7 +429,16 @@ def dense_topk_twophase(
 
 # N above which the two-phase backend beats the fused running-top-k
 # kernel (its selection is O(k*N); measured crossover on TPU v5e).
+# Also the shard size above which the sparse path switches to the
+# segment-sum strategy (parallel/sharded.py).
 LARGE_N_THRESHOLD = 65536
+
+# [Q, N_local] f32 score-matrix budget for the XLA dot+top_k path.
+# Slope-measured on v5e (round 2): XLA wins at every N that fits —
+# the two-phase segment-max kernel takes over only beyond this, where
+# materializing scores would crowd HBM (its intermediate is seg_rows
+# times smaller).
+_SCORE_MATRIX_BUDGET_BYTES = 1 << 30
 
 
 def exact_rescore(

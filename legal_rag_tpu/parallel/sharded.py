@@ -34,7 +34,9 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from legal_rag_tpu.ops.dense import dense_topk_pallas, LARGE_N_THRESHOLD
+from legal_rag_tpu.ops.dense import (
+    LARGE_N_THRESHOLD, _SCORE_MATRIX_BUDGET_BYTES, dense_topk_twophase,
+)
 from legal_rag_tpu.ops.fusion import rrf_fusion
 
 AXIS = "shard"
@@ -73,24 +75,25 @@ def _local_dense_topc(
     if docs_t_local.dtype == jnp.bfloat16:
         q = q.astype(jnp.bfloat16)
         precision = jax.lax.Precision.DEFAULT
-    # The fused running-top-k kernel does O(c*N) VPU selection work —
-    # a clear win at small N (no [Q,N] HBM traffic, ~2x over XLA) but
-    # it loses to XLA's matmul+top_k beyond ~64k docs/shard (measured
-    # crossover on v5e); dispatch accordingly.
-    if use_pallas and docs_t_local.shape[1] > LARGE_N_THRESHOLD:
-        use_pallas = False
-    if use_pallas:
-        # the shard's true valid column count: pad docs (zero vectors
-        # on the last shard) must lose inside the kernel's selection,
-        # not just be masked afterwards — their 0.0 scores would evict
-        # real negative-cosine candidates from the local top-C
-        n_valid = jnp.clip(n_docs - base, 0, docs_t_local.shape[1])
-        s, i = dense_topk_pallas(
-            q, docs_t_local, c, n_valid=n_valid, precision=precision,
-            block_n=block_n, block_q=block_q,
+    # Dispatch policy (slope-measured on v5e, round 2 — see BASELINE.md
+    # "backend shootout"): XLA's dot+top_k wins at EVERY corpus size
+    # (fused running-top-k kernel: 2.7x slower at N=2.7k, 11x at 65k;
+    # round 1's "2x pallas win at small N" was a relay measurement
+    # artifact). ``use_pallas`` is therefore ignored for the dense
+    # top-C — the fused kernel stays available as an explicit opt-in
+    # via ops.dense.dense_topk — EXCEPT when the [Q, N_local] score
+    # matrix would blow the HBM budget, where the two-phase segment-max
+    # kernel (16x smaller intermediate at seg_rows=16) takes over.
+    del use_pallas
+    n_local_w = docs_t_local.shape[1]
+    if q.shape[0] * n_local_w * 4 > _SCORE_MATRIX_BUDGET_BYTES:
+        n_valid = jnp.clip(n_docs - base, 0, n_local_w)
+        s, i = dense_topk_twophase(
+            q, docs_t_local, c, n_valid=n_valid, block_n=8192,
+            block_q=max(8, q.shape[0]), seg_rows=16, precision=precision,
         )
-        gids = i + base
-        s = jnp.where(gids < n_docs, s, -jnp.inf)
+        gids = jnp.where(i >= 0, i + base, i)
+        s = jnp.where((gids >= 0) & (gids < n_docs), s, -jnp.inf)
         return s, gids
     scores = jnp.dot(
         q, docs_t_local, preferred_element_type=jnp.float32,

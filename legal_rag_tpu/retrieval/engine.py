@@ -120,8 +120,8 @@ class RetrievalEngine:
         self.index = ShardedIndex.from_embeddings(
             store.embeddings, self.mesh, dtype=config.dense.dtype
         )
-        # default: the fused Pallas kernel, only on real TPU backends
-        # and only if the config hasn't disabled it
+        # permit-pallas flag (dense top-C itself always rides XLA after
+        # the r2 shootout; sharded.py dispatches per measured policy)
         if use_pallas is None:
             use_pallas = (
                 config.dense.use_pallas

@@ -103,35 +103,39 @@ def test_sharded_rrf_mode(setup):
     assert (ids >= 0).all() and (ids < docs.shape[0]).all()
 
 
-def test_pallas_interpret_inside_shard_map(setup):
-    """The fused Pallas kernel runs under shard_map (interpret mode on
-    CPU) and agrees with the XLA path."""
+def test_twophase_fallback_inside_shard_map(setup):
+    """When the [Q, N_local] score matrix would exceed the HBM budget,
+    the dense top-C dispatches to the two-phase segment-max kernel
+    (interpret mode on CPU) — results must be identical to the XLA
+    path."""
     docs, q_emb, bm25, post_ids, post_w, _ = setup
     w = np.full(4, 0.5, dtype=np.float32)
     mesh = make_mesh(2)
     index = ShardedIndex.from_embeddings(docs, mesh)
     import legal_rag_tpu.parallel.sharded as sh
-    import legal_rag_tpu.ops.dense as dense_mod
     import functools
 
-    orig = dense_mod.dense_topk_pallas
+    orig_budget = sh._SCORE_MATRIX_BUDGET_BYTES
+    orig_tp = sh.dense_topk_twophase
     try:
-        # force interpret mode for CPU execution
-        dense_mod_patched = functools.partial(orig, interpret=True)
-        sh.dense_topk_pallas = dense_mod_patched
-        f_p, ids_p, _, _ = sharded_hybrid_search(
+        sh._SCORE_MATRIX_BUDGET_BYTES = 1   # force the fallback
+        sh.dense_topk_twophase = functools.partial(orig_tp, interpret=True)
+        # the budget is read at TRACE time — bypass the jit cache so
+        # the patched value actually takes effect
+        f_p, ids_p, _, _ = sharded_hybrid_search.__wrapped__(
             index.docs_t, jnp.asarray(post_ids), jnp.asarray(post_w),
             jnp.asarray(q_emb), jnp.asarray(w),
             mesh=mesh, k=5, c=10, n_docs=docs.shape[0],
-            mode="weighted", use_pallas=True,
+            mode="weighted",
         )
     finally:
-        sh.dense_topk_pallas = orig
+        sh._SCORE_MATRIX_BUDGET_BYTES = orig_budget
+        sh.dense_topk_twophase = orig_tp
     f_x, ids_x, _, _ = sharded_hybrid_search(
         index.docs_t, jnp.asarray(post_ids), jnp.asarray(post_w),
         jnp.asarray(q_emb), jnp.asarray(w),
         mesh=mesh, k=5, c=10, n_docs=docs.shape[0],
-        mode="weighted", use_pallas=False,
+        mode="weighted",
     )
     np.testing.assert_array_equal(np.asarray(ids_p), np.asarray(ids_x))
     np.testing.assert_allclose(np.asarray(f_p), np.asarray(f_x), rtol=1e-5)
@@ -185,10 +189,11 @@ def test_segsum_correct_with_negative_weights(setup, mode):
                                rtol=1e-5, atol=1e-6)
 
 
-def test_pallas_pad_docs_cannot_evict_negative_cosine(setup):
-    """Global zero-padding docs on the last shard score 0.0; the kernel
-    must exclude them from its in-kernel top-C so all-negative-cosine
-    corpora still return real docs (regression: post-hoc masking)."""
+def test_twophase_pad_docs_cannot_evict_negative_cosine(setup):
+    """Global zero-padding docs on the last shard score 0.0; the
+    two-phase fallback must exclude them from its in-kernel segment
+    maxima (via n_valid) so all-negative-cosine corpora still return
+    real docs (regression: post-hoc masking)."""
     rng = np.random.default_rng(3)
     n, d = 21, 64  # 21 docs over 2 shards -> last shard has pad columns
     docs = -np.abs(rng.standard_normal((n, d))).astype(np.float32)
@@ -203,20 +208,21 @@ def test_pallas_pad_docs_cannot_evict_negative_cosine(setup):
     index = ShardedIndex.from_embeddings(docs, mesh)
 
     import legal_rag_tpu.parallel.sharded as sh
-    import legal_rag_tpu.ops.dense as dense_mod
     import functools
 
-    orig = dense_mod.dense_topk_pallas
+    orig_budget = sh._SCORE_MATRIX_BUDGET_BYTES
+    orig_tp = sh.dense_topk_twophase
     try:
-        sh.dense_topk_pallas = functools.partial(orig, interpret=True)
-        f, ids, sem, _ = sharded_hybrid_search(
+        sh._SCORE_MATRIX_BUDGET_BYTES = 1
+        sh.dense_topk_twophase = functools.partial(orig_tp, interpret=True)
+        f, ids, sem, _ = sharded_hybrid_search.__wrapped__(
             index.docs_t, jnp.asarray(post_ids), jnp.asarray(post_w),
             jnp.asarray(q_emb), jnp.asarray(w),
             mesh=mesh, k=5, c=8, n_docs=n, mode="weighted",
-            use_pallas=True,
         )
     finally:
-        sh.dense_topk_pallas = orig
+        sh._SCORE_MATRIX_BUDGET_BYTES = orig_budget
+        sh.dense_topk_twophase = orig_tp
     ids = np.asarray(ids)
     assert (ids >= 0).all() and (ids < n).all()
     # exact golden: all docs valid, c=8 per shard covers global top-5
