@@ -46,7 +46,13 @@ def _cmd_build(args) -> int:
         args.source,
         store_dir=args.store,
         finetune_steps=args.finetune_steps,
-        log_fn=print if args.finetune_steps else None,
+        pq_m=args.pq_m,
+        rerank_steps=args.rerank_steps,
+        log_fn=(
+            print
+            if (args.finetune_steps or args.pq_m or args.rerank_steps)
+            else None
+        ),
     )
     print(
         f"index built: {store.n_docs} docs x {store.dim}d, "
@@ -213,6 +219,18 @@ def main(argv=None) -> int:
         "--finetune-steps", type=int, default=0,
         help="contrastive encoder fine-tune steps before encoding "
              "(0 = off; ~300 lifts dense recall materially)",
+    )
+    p.add_argument(
+        "--pq-m", type=int, default=0,
+        help="train product-quantization codebooks with m subspaces "
+             "(m bytes/doc; 0 = off) so serving can use the "
+             "dense.dtype='pq' capacity tier without boot-time k-means",
+    )
+    p.add_argument(
+        "--rerank-steps", type=int, default=0, dest="rerank_steps",
+        help="train + persist the cross-encoder reranker checkpoint "
+             "(0 = off); stores carrying it serve with the joint-"
+             "attention precision stage auto-enabled",
     )
     p.set_defaults(fn=_cmd_build)
 

@@ -18,14 +18,16 @@ class DenseConfig:
     """Dense (semantic) search configuration."""
 
     dim: int = 384                  # MiniLM embedding dim
-    dtype: str = "float32"          # doc matrix dtype: float32 | bfloat16 | int8
+    dtype: str = "float32"          # doc matrix storage tier:
+                                    # float32 | bfloat16 | int8 | pq
     block_n: int = 1024             # Pallas: docs per grid step
     block_q: int = 8                # Pallas: queries per grid step (fp32 sublane)
     use_pallas: bool = True  # permit Pallas paths where measured to win
                              # (dense top-C always rides XLA since the
                              # r2 shootout; see parallel/sharded.py)
-    int8_rescore: bool = True       # exact fp32 rescore of int8 candidates
+    int8_rescore: bool = True       # exact fp32 rescore of int8/pq candidates
     int8_oversample: int = 4        # candidate oversampling factor for rescore
+    pq_m: int = 48                  # PQ subspaces (bytes/doc) when dtype="pq"
 
 
 @dataclasses.dataclass(frozen=True)

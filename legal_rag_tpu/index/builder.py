@@ -41,6 +41,8 @@ def build_index(
     config: RetrievalConfig = DEFAULT_CONFIG,
     store_dir=None,
     finetune_steps: int = 0,
+    pq_m: int = 0,
+    rerank_steps: int = 0,
     log_fn=None,
 ) -> VectorStore:
     """Build a full index.
@@ -57,6 +59,16 @@ def build_index(
         (see BASELINE.md retrieval-quality table). Deterministic given
         (encoder weights, corpus, steps), and fingerprinted into the
         resume hash.
+      pq_m: when > 0, additionally train product-quantization codebooks
+        with ``m = pq_m`` subspaces and persist codes + codebooks in the
+        store (ops/pq.py), so serving with ``dense.dtype='pq'`` (the
+        32x-compression capacity tier) loads pre-trained artifacts
+        instead of running k-means at boot.
+      rerank_steps: when > 0, train the cross-encoder reranker on
+        corpus span pairs (models/cross_encoder.py) and persist its
+        checkpoint; stores carrying it serve with a joint-attention
+        precision stage on top of hybrid retrieval (LegalEngine
+        auto-enables it).
     """
     if isinstance(source, (str, Path)):
         path = Path(source)
@@ -85,6 +97,10 @@ def build_index(
     if finetune_steps:
         # (omitted when 0 so pre-existing store hashes stay valid)
         h.update(f"finetune:{finetune_steps}".encode())
+    if pq_m:
+        h.update(f"pq:{pq_m}".encode())
+    if rerank_steps:
+        h.update(f"rerank:{rerank_steps}".encode())
     if encoder is not None:
         # a caller-supplied encoder (fine-tuned / converted weights)
         # must invalidate stores built by a different one — fingerprint
@@ -127,6 +143,31 @@ def build_index(
             )
 
     embeddings = encoder.encode(texts, batch_size=config.encoder.encode_batch)
+    ce_params = None
+    if rerank_steps > 0:
+        from legal_rag_tpu.models.cross_encoder import (
+            CrossEncoder, train_cross_encoder,
+        )
+
+        ce = CrossEncoder(encoder)
+        losses = train_cross_encoder(
+            ce, texts, steps=rerank_steps, log_fn=log_fn,
+        )
+        ce_params = ce.params
+        if log_fn:
+            log_fn(
+                f"trained cross-encoder reranker {rerank_steps} steps "
+                f"(loss {losses[0]:.3f} -> {losses[-1]:.3f})"
+            )
+    pq_codes = pq_codebooks = None
+    if pq_m > 0:
+        from legal_rag_tpu.ops.pq import encode_pq, train_pq
+
+        cb = train_pq(embeddings, m=pq_m)
+        pq_codes = encode_pq(embeddings, cb)
+        pq_codebooks = cb.codebooks
+        if log_fn:
+            log_fn(f"trained PQ codebooks (m={pq_m}, {pq_m} B/doc)")
     bm25 = build_bm25(
         texts,
         k1=config.bm25.k1,
@@ -156,6 +197,9 @@ def build_index(
         },
         corpus_hash=corpus_hash,
         encoder_params=encoder.params,
+        pq_codes=pq_codes,
+        pq_codebooks=pq_codebooks,
+        ce_params=ce_params,
     )
     if store_dir is not None:
         store.save(store_dir)

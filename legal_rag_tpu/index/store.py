@@ -11,6 +11,10 @@ with a framework-native, versioned directory:
       bm25.npz           CSR postings: indptr/doc_ids/weights/idf/doc_len
       vocab.txt          BM25 term vocab (line = term, id = line no)
       wp_vocab.txt       WordPiece vocab for the encoder (optional)
+      pq.npz             product-quantization codes + codebooks
+                         (optional — built with ``--pq-m``, ops/pq.py)
+      cross_encoder.npz  trained cross-encoder reranker checkpoint
+                         (optional — built with ``--rerank-steps``)
       chunks.json        full chunk list (text/metadata/canonical_header
                          /section_id) — the reference metadata.json
                          superset
@@ -62,6 +66,13 @@ class VectorStore:
                                            # docs (fine-tuned/converted
                                            # weights are not derivable
                                            # from seed+config)
+    pq_codes: Optional[np.ndarray] = None       # [N, m] uint8 PQ codes
+    pq_codebooks: Optional[np.ndarray] = None   # [m, 256, dsub] f32 —
+                                                # trained once at build
+                                                # so loads skip k-means
+    ce_params: Optional[Dict] = None   # trained cross-encoder reranker
+                                       # checkpoint {"trunk","head"}
+                                       # (models/cross_encoder.py)
 
     @property
     def n_docs(self) -> int:
@@ -105,12 +116,26 @@ class VectorStore:
             from legal_rag_tpu.models.convert import save_params_npz
 
             save_params_npz(self.encoder_params, store_dir / "encoder.npz")
+        if self.pq_codes is not None:
+            np.savez_compressed(
+                store_dir / "pq.npz",
+                codes=self.pq_codes,
+                codebooks=self.pq_codebooks,
+            )
+        if self.ce_params is not None:
+            from legal_rag_tpu.models.convert import save_params_npz
+
+            save_params_npz(self.ce_params, store_dir / "cross_encoder.npz")
 
         artifacts = ["embeddings.npy", "bm25.npz", "vocab.txt", "chunks.json"]
         if self.wp_vocab:
             artifacts.append("wp_vocab.txt")
         if self.encoder_params is not None:
             artifacts.append("encoder.npz")
+        if self.pq_codes is not None:
+            artifacts.append("pq.npz")
+        if self.ce_params is not None:
+            artifacts.append("cross_encoder.npz")
         manifest = {
             "format_version": FORMAT_VERSION,
             "n_docs": int(self.n_docs),
@@ -185,6 +210,15 @@ class VectorStore:
             from legal_rag_tpu.models.convert import load_params_npz
 
             encoder_params = load_params_npz(store_dir / "encoder.npz")
+        pq_codes = pq_codebooks = None
+        if "pq.npz" in manifest.get("artifacts", {}):
+            pq_data = np.load(store_dir / "pq.npz")
+            pq_codes, pq_codebooks = pq_data["codes"], pq_data["codebooks"]
+        ce_params = None
+        if "cross_encoder.npz" in manifest.get("artifacts", {}):
+            from legal_rag_tpu.models.convert import load_params_npz
+
+            ce_params = load_params_npz(store_dir / "cross_encoder.npz")
         with open(store_dir / "chunks.json", "r", encoding="utf-8") as f:
             chunks = json.load(f)
         return cls(
@@ -196,4 +230,7 @@ class VectorStore:
             encoder_info=manifest.get("encoder"),
             corpus_hash=manifest.get("corpus_hash"),
             encoder_params=encoder_params,
+            pq_codes=pq_codes,
+            pq_codebooks=pq_codebooks,
+            ce_params=ce_params,
         )

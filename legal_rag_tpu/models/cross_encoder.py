@@ -54,11 +54,22 @@ def cross_encode_scores(
 
 
 class CrossEncoder:
-    """Pair scorer sharing the bi-encoder's trunk and tokenizer."""
+    """Pair scorer sharing the bi-encoder's trunk and tokenizer.
 
-    def __init__(self, encoder: SentenceEncoder, seed: int = 0):
+    ``params``: adopt previously trained weights (e.g. the store's
+    ``cross_encoder.npz`` artifact) instead of initializing a fresh
+    head on the bi-encoder trunk — training moves the trunk too, so a
+    trained cross-encoder is a full ``{"trunk", "head"}`` checkpoint.
+    """
+
+    def __init__(
+        self, encoder: SentenceEncoder, seed: int = 0, params=None,
+    ):
         self.cfg = encoder.cfg
         self.tokenizer = encoder.tokenizer
+        if params is not None:
+            self.params = jax.tree.map(jnp.asarray, params)
+            return
         rng = np.random.default_rng(seed)
         head = {
             "w": jnp.asarray(

@@ -105,6 +105,37 @@ def _local_dense_topc(
     return s, jnp.where(i >= 0, i + base, i)
 
 
+def _local_pq_topc(q, codes_local, codebooks, base, n_docs, c, interpret):
+    """Local [Q, C] candidates from a PQ-coded shard (ops/pq.py).
+
+    ``codes_local [m, n_local]`` uint8 (transposed, column-sharded like
+    the dense matrix) is the only per-doc HBM read (m bytes/doc — the
+    capacity tier); scores are approximate under the PQ metric, so
+    callers oversample and fp32-rescore (engine.py), same contract as
+    the int8 mode. Ids return global via ``base``.
+    """
+    from legal_rag_tpu.ops.pq import pq_topk
+
+    n_local = codes_local.shape[1]
+    n_valid = jnp.clip(n_docs - base, 0, n_local)
+    c_req = min(c, n_local)
+    s, i = pq_topk(
+        q, codes_local, codebooks, c_req, n_valid=n_valid,
+        interpret=interpret,
+    )
+    if c_req < c:
+        qn = q.shape[0]
+        s = jnp.concatenate(
+            [s, jnp.full((qn, c - c_req), -jnp.inf, s.dtype)], axis=1
+        )
+        i = jnp.concatenate(
+            [i, jnp.full((qn, c - c_req), -1, i.dtype)], axis=1
+        )
+    bad = (i < 0) | ~jnp.isfinite(s)
+    gids = jnp.where(bad, -1, i + base)
+    return jnp.where(bad, -jnp.inf, s), gids
+
+
 def _topk_padded(scores, c):
     """top_k that tolerates c > row length: missing slots padded with
     (-inf, -1) so gathered candidate shapes stay [Q, C] on any shard."""
@@ -175,15 +206,19 @@ def _bm25_segment_stats(pids, pw, n_docs):
     static_argnames=(
         "mesh", "k", "c", "n_docs", "mode", "use_pallas", "precision",
         "rrf_k", "block_n", "block_q", "sparse_mode", "data_axis",
+        "pq_interpret",
     ),
 )
 def sharded_hybrid_search(
-    docs_t: jax.Array,        # [D, Npad] sharded over columns
+    docs_t: jax.Array,        # [D, Npad] sharded over columns; or PQ
+                              # codes [m, Npad] uint8, also col-sharded
     post_ids: jax.Array,      # [Q, P] global doc ids (replicated)
     post_w: jax.Array,        # [Q, P]
     q_emb: jax.Array,         # [Q, D] (replicated)
     weights: jax.Array,       # [Q] hybrid weights
     doc_scales: Optional[jax.Array] = None,  # [Npad] sharded, int8 mode
+    pq_codebooks: Optional[jax.Array] = None,  # [m, 256, dsub] f32,
+                                               # replicated, PQ mode
     *,
     mesh: Mesh,
     k: int,
@@ -197,6 +232,7 @@ def sharded_hybrid_search(
     block_q: int = 8,
     sparse_mode: str = "auto",   # auto | scatter | segsum
     data_axis: Optional[str] = None,
+    pq_interpret: Optional[bool] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Returns ``(fused [Q,k], ids [Q,k], sem [Q,k], keyword [Q,k])``.
 
@@ -211,9 +247,20 @@ def sharded_hybrid_search(
     across ``data`` rows; the candidate-merge all_gather stays within a
     row (the minor/fast ICI axis); no cross-row collectives exist. Q
     must divide the data-axis size.
+
+    PQ capacity mode: when ``docs_t`` is uint8 codes ``[m, Npad]``
+    (transposed, column-sharded like the dense matrix) and
+    ``pq_codebooks`` is given, the local dense stage scores via the PQ
+    one-hot-matmul kernel (ops/pq.py). Dense scores are then
+    approximate under the PQ metric — the engine oversamples and
+    fp32-rescores (same contract as int8 mode).
     """
+    is_pq = docs_t.dtype == jnp.uint8
+    if is_pq and pq_codebooks is None:
+        raise ValueError("uint8 (PQ) doc codes require pq_codebooks")
     n_shards = mesh.shape[AXIS]
-    n_local = docs_t.shape[1] // n_shards
+    n_pad_docs = docs_t.shape[1]   # docs are columns in BOTH layouts
+    n_local = n_pad_docs // n_shards
     if data_axis is not None and q_emb.shape[0] % mesh.shape[data_axis]:
         raise ValueError(
             f"query batch {q_emb.shape[0]} must divide data axis "
@@ -222,23 +269,33 @@ def sharded_hybrid_search(
     if doc_scales is None:
         # dummy (unsharded-content-free) scales so the shard_map
         # signature is static; only the int8 path reads them
-        doc_scales = jnp.ones((docs_t.shape[1],), dtype=jnp.float32)
+        doc_scales = jnp.ones((n_pad_docs,), dtype=jnp.float32)
+    if pq_codebooks is None:
+        # dummy replicated operand keeps the body signature static
+        pq_codebooks = jnp.zeros((1, 1, 1), dtype=jnp.float32)
+    if pq_interpret is None:
+        pq_interpret = jax.devices()[0].platform != "tpu"
 
     use_segsum = sparse_mode == "segsum" or (
         sparse_mode == "auto" and n_local > LARGE_N_THRESHOLD
     )
 
-    def body(docs_local, scales_local, pids, pw, qe, w):
+    def body(docs_local, scales_local, cb, pids, pw, qe, w):
         q = qe.shape[0]  # LOCAL query count (Q/data on a 2-D mesh)
         shard = jax.lax.axis_index(AXIS)
         base = (shard * n_local).astype(jnp.int32)
         qidx = jnp.arange(q, dtype=jnp.int32)[:, None]
 
         # ---- dense local candidates
-        d_s, d_i = _local_dense_topc(
-            qe, docs_local, base, n_docs, c, precision, use_pallas,
-            block_n, block_q, doc_scales=scales_local,
-        )
+        if is_pq:
+            d_s, d_i = _local_pq_topc(
+                qe, docs_local, cb, base, n_docs, c, pq_interpret,
+            )
+        else:
+            d_s, d_i = _local_dense_topc(
+                qe, docs_local, base, n_docs, c, precision, use_pallas,
+                block_n, block_q, doc_scales=scales_local,
+            )
 
         # ---- BM25 scores, two strategies:
         # scatter: dense [Q, n_local] accumulator + pmax — cheap at
@@ -344,16 +401,19 @@ def sharded_hybrid_search(
         return f, ids, sem, key
 
     dax = data_axis
-    spec_docs = P(None, AXIS)
+    spec_docs = P(None, AXIS)   # [D, Npad] or PQ [m, Npad]: same spec
     spec_q2 = P(dax, None)   # [Q, ...] operands: data-sharded when 2-D
     spec_q1 = P(dax)
     return shard_map(
         body,
         mesh=mesh,
-        in_specs=(spec_docs, P(AXIS), spec_q2, spec_q2, spec_q2, spec_q1),
+        in_specs=(
+            spec_docs, P(AXIS), P(None, None, None),
+            spec_q2, spec_q2, spec_q2, spec_q1,
+        ),
         out_specs=(spec_q2, spec_q2, spec_q2, spec_q2),
         check_vma=False,
-    )(docs_t, doc_scales, post_ids, post_w, q_emb, weights)
+    )(docs_t, doc_scales, pq_codebooks, post_ids, post_w, q_emb, weights)
 
 
 @dataclasses.dataclass
@@ -368,12 +428,45 @@ class ShardedIndex:
         to the int32 MXU accumulator; queries quantize per-row at
         search time. Recall≈exact for well-separated neighbours
         (tested); the memory mode for 10M+ docs/chip.
+      - ``pq`` — product quantization (ops/pq.py): m uint8 codes/doc
+        (default m=48 → 32x vs fp32, ~300M docs on a 16 GB chip);
+        scored on the MXU via per-subspace one-hot matmuls, candidates
+        fp32-rescored by the engine. ``docs_t`` then holds the codes
+        ``[m, Npad]`` transposed and column-sharded (the kernel's
+        relayout-free layout) and ``pq_codebooks`` the trained
+        ``[m, 256, dsub]`` centroids.
     """
 
-    docs_t: jax.Array      # [D, Npad] column-sharded
+    docs_t: jax.Array      # [D, Npad] column-sharded; PQ: [m, Npad] u8
     mesh: Mesh
     n_docs: int
     doc_scales: Optional[jax.Array] = None   # [Npad] f32, int8 mode only
+    pq_codebooks: Optional[jax.Array] = None  # [m, 256, dsub], pq mode
+
+    @classmethod
+    def from_pq(
+        cls,
+        codes: np.ndarray,           # [N, m] uint8
+        codebooks: np.ndarray,       # [m, 256, dsub] f32
+        mesh: Optional[Mesh] = None,
+    ) -> "ShardedIndex":
+        from legal_rag_tpu.parallel.mesh import make_mesh
+
+        mesh = mesh or make_mesh()
+        n, m = codes.shape
+        n_shards = mesh.shape[AXIS]
+        n_pad = -(-n // n_shards) * n_shards
+        # transpose to the kernel's [m, Npad] layout once at build/load
+        padded = np.zeros((m, n_pad), dtype=np.uint8)
+        padded[:, :n] = np.ascontiguousarray(codes.T)
+        return cls(
+            docs_t=jax.device_put(
+                jnp.asarray(padded), NamedSharding(mesh, P(None, AXIS))
+            ),
+            mesh=mesh,
+            n_docs=n,
+            pq_codebooks=jnp.asarray(codebooks, dtype=jnp.float32),
+        )
 
     @classmethod
     def from_embeddings(
@@ -381,6 +474,7 @@ class ShardedIndex:
         embeddings: np.ndarray,
         mesh: Optional[Mesh] = None,
         dtype: str = "float32",
+        pq_m: int = 48,
     ) -> "ShardedIndex":
         from legal_rag_tpu.parallel.mesh import make_mesh
 
@@ -388,6 +482,15 @@ class ShardedIndex:
         n, d = embeddings.shape
         n_shards = mesh.shape[AXIS]
         n_pad = -(-n // n_shards) * n_shards
+
+        if dtype == "pq":
+            # train-on-the-fly convenience; builds persist the trained
+            # artifacts instead (index/store.py) so loads skip k-means
+            from legal_rag_tpu.ops.pq import encode_pq, train_pq
+
+            cb = train_pq(np.asarray(embeddings, np.float32), m=pq_m)
+            codes = encode_pq(np.asarray(embeddings, np.float32), cb)
+            return cls.from_pq(codes, cb.codebooks, mesh)
         # keep the transposed layout contiguous per shard column-block
         docs_t = np.zeros((d, n_pad), dtype=np.float32)
         docs_t[:, :n] = np.ascontiguousarray(embeddings.T)

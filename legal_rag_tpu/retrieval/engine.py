@@ -117,9 +117,16 @@ class RetrievalEngine:
             )
         self.encoder = encoder
         self.mesh = mesh or make_mesh(config.sharding.num_shards)
-        self.index = ShardedIndex.from_embeddings(
-            store.embeddings, self.mesh, dtype=config.dense.dtype
-        )
+        if config.dense.dtype == "pq" and store.pq_codes is not None:
+            # build-time-trained PQ artifacts: loads skip k-means
+            self.index = ShardedIndex.from_pq(
+                store.pq_codes, store.pq_codebooks, self.mesh
+            )
+        else:
+            self.index = ShardedIndex.from_embeddings(
+                store.embeddings, self.mesh, dtype=config.dense.dtype,
+                pq_m=config.dense.pq_m,
+            )
         # permit-pallas flag (dense top-C itself always rides XLA after
         # the r2 shootout; sharded.py dispatches per measured policy)
         if use_pallas is None:
@@ -177,11 +184,11 @@ class RetrievalEngine:
         self.device_dispatches = getattr(self, "device_dispatches", 0) + 1
         cfg = self.config
         n_real = len(queries)
-        # int8 indexes trade exactness for 4x HBM; recover it by fp32-
-        # rescoring an oversampled candidate set after the device pass
-        # (weighted mode only — RRF is rank-based over both lists)
+        # int8/pq indexes trade exactness for 4-32x HBM; recover it by
+        # fp32-rescoring an oversampled candidate set after the device
+        # pass (weighted mode only — RRF is rank-based over both lists)
         rescore = (
-            cfg.dense.dtype == "int8"
+            cfg.dense.dtype in ("int8", "pq")
             and cfg.dense.int8_rescore
             and mode == "weighted"
         )
@@ -211,6 +218,7 @@ class RetrievalEngine:
                 jnp.asarray(q_emb),
                 jnp.asarray(np.asarray(hybrid_weights, dtype=np.float32)),
                 self.index.doc_scales,
+                self.index.pq_codebooks,
                 mesh=self.mesh,
                 k=k_dev,
                 c=max(cfg.fusion.candidate_multiplier * k_dev, k_dev),

@@ -29,7 +29,11 @@ class LegalEngine:
         classifier_llm: Optional[LLMClient] = None,
         responder_llm: Optional[LLMClient] = None,
         use_llm: bool = True,
+        rerank: Optional[bool] = None,
     ):
+        """``rerank``: None (default) auto-enables the cross-encoder
+        precision stage when the store carries a trained checkpoint
+        (``build --rerank-steps``); True/False force it on/off."""
         if store is None:
             if store_dir is None:
                 raise ValueError("need store_dir or store")
@@ -44,8 +48,23 @@ class LegalEngine:
                     ("RESPONDER_MODELS", "LLM_MODELS")
                 )
         self.engine = RetrievalEngine(store, config=config)
+        reranker = None
+        if rerank is None:
+            rerank = store.ce_params is not None
+        if rerank:
+            from legal_rag_tpu.models.cross_encoder import CrossEncoder
+
+            if store.ce_params is None:
+                raise ValueError(
+                    "rerank=True but the store has no cross_encoder.npz "
+                    "checkpoint; rebuild with --rerank-steps"
+                )
+            reranker = CrossEncoder(
+                self.engine.encoder, params=store.ce_params
+            )
         self.orchestrator = LegalOrchestrator(
-            self.engine, classifier=QueryClassifier(classifier_llm)
+            self.engine, classifier=QueryClassifier(classifier_llm),
+            reranker=reranker,
         )
         self.responder = LegalResponder(responder_llm)
 

@@ -40,9 +40,17 @@ class LegalOrchestrator:
         engine: RetrievalEngine,
         classifier: Optional[QueryClassifier] = None,
         llm: Optional[LLMClient] = None,
+        reranker=None,
+        rerank_candidates: int = 16,
     ):
         self.engine = engine
         self.classifier = classifier or QueryClassifier(llm)
+        # optional cross-encoder precision stage (beyond the reference,
+        # whose ranking is bi-encoder + BM25 only): rerank the merged
+        # candidate pool by joint (query, doc) attention before the
+        # rule boosts (models/cross_encoder.py)
+        self.reranker = reranker
+        self.rerank_candidates = rerank_candidates
         # (law, section) -> section chunk, for parent expansion
         # (reference orchestrator.py:19-27)
         self.section_lookup: Dict[Tuple[str, str], Dict] = {}
@@ -73,9 +81,11 @@ class LegalOrchestrator:
             for q in queries
         ]
 
-        # ONE batched device program for the whole expansion set
+        # ONE batched device program for the whole expansion set; with
+        # a reranker, fetch a wider pool for the precision stage to act on
+        k_fetch = max(k, self.rerank_candidates) if self.reranker else k
         batched = self.engine.search_batch(
-            queries, k=k, hybrid_weights=weights, mode=mode
+            queries, k=k_fetch, hybrid_weights=weights, mode=mode
         )
 
         # merge in query order, dedupe by canonical header
@@ -89,9 +99,38 @@ class LegalOrchestrator:
                     seen.add(header)
                     merged.append(r.to_dict())
 
+        if self.reranker is not None:
+            merged = self.rerank_results(query, merged)
         prioritized = self.prioritize_results(merged, intent)
         expanded = self.expand_results(prioritized[:k])
         return {"intent": intent.to_dict(), "results": expanded}
+
+    def rerank_results(
+        self, query: str, results: List[Dict]
+    ) -> List[Dict]:
+        """Cross-encoder precision stage: score every (query, candidate
+        text) pair jointly in one batched forward, min-max normalize the
+        logits to [0, 1] over the pool (so the multiplicative rule
+        boosts that follow keep their semantics on a positive score),
+        and reorder. Retrieval scores are preserved under
+        ``retrieval_score``; ``rerank_score`` carries the raw logit.
+        Candidates past the pool cap are dropped rather than appended —
+        their un-normalized retrieval scores are not comparable to the
+        normalized pool scores, and the pool is already >= k wide.
+        """
+        pool = results[: self.rerank_candidates]
+        if not pool:
+            return results
+        texts = [r["chunk"]["text"] for r in pool]
+        logits = self.reranker.score_pairs([query] * len(texts), texts)
+        lo, hi = float(min(logits)), float(max(logits))
+        span = (hi - lo) or 1.0
+        for r, logit in zip(pool, logits):
+            r["retrieval_score"] = r["score"]
+            r["rerank_score"] = float(logit)
+            r["score"] = (float(logit) - lo) / span
+        pool.sort(key=lambda r: -r["score"])
+        return pool
 
     # -- rule-based boosts (reference orchestrator.py:75-110) ---------------
 

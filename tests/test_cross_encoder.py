@@ -105,3 +105,85 @@ def test_evaluate_rerank_report(corpus):
     assert set(report["modes"]) == {"base", "reranked"}
     for m in report["modes"].values():
         assert 0.0 <= m["mrr"] <= 1.0
+
+
+def test_ce_checkpoint_roundtrip_and_facade_autoenable(corpus, tmp_path):
+    """build(rerank_steps=N) persists the trained cross-encoder in the
+    store (cross_encoder.npz, sha256'd); LegalEngine auto-enables the
+    precision stage for such stores and its reranked results carry
+    retrieval_score/rerank_score provenance."""
+    from legal_rag_tpu.index.builder import build_index
+    from legal_rag_tpu.index.store import VectorStore
+    from legal_rag_tpu.retrieval.facade import LegalEngine
+
+    chunks = [
+        {"text": t, "canonical_header": f"H{i}",
+         "metadata": {"law": "BNS", "section": str(i),
+                      "unit_type": "section"},
+         "section_id": f"BNS_{i}"}
+        for i, t in enumerate(corpus)
+    ]
+    rcfg = RetrievalConfig(encoder=CFG)
+    store = build_index(
+        chunks, config=rcfg, store_dir=tmp_path, rerank_steps=4,
+    )
+    assert store.ce_params is not None
+    assert "cross_encoder.npz" in store.manifest["artifacts"]
+
+    loaded = VectorStore.load(tmp_path)
+    assert loaded.ce_params is not None
+
+    eng = LegalEngine(store=loaded, config=rcfg, use_llm=False)
+    assert eng.orchestrator.reranker is not None   # auto-enabled
+    out = eng.orchestrator.orchestrate(corpus[2].split()[0], k=3)
+    res = out["results"]
+    assert res and all("rerank_score" in r for r in res)
+    assert all("retrieval_score" in r for r in res)
+
+    # forced off: no reranker, results carry plain retrieval scores
+    eng_off = LegalEngine(
+        store=loaded, config=rcfg, use_llm=False, rerank=False,
+    )
+    assert eng_off.orchestrator.reranker is None
+    out_off = eng_off.orchestrator.orchestrate(corpus[2].split()[0], k=3)
+    assert all("rerank_score" not in r for r in out_off["results"])
+
+
+def test_rerank_stage_orders_by_ce_score(corpus):
+    """The orchestrator's rerank stage must reorder the pool by the
+    cross-encoder's joint score (desc) and normalize scores to [0,1]."""
+    from legal_rag_tpu.index.builder import build_index
+    from legal_rag_tpu.retrieval.engine import RetrievalEngine
+    from legal_rag_tpu.retrieval.orchestrator import LegalOrchestrator
+
+    chunks = [
+        {"text": t, "canonical_header": f"H{i}",
+         "metadata": {"law": "BNS", "section": str(i),
+                      "unit_type": "section"}}
+        for i, t in enumerate(corpus)
+    ]
+    rcfg = RetrievalConfig(encoder=CFG)
+    store = build_index(chunks, config=rcfg)
+    engine = RetrievalEngine(store, config=rcfg)
+
+    class FakeCE:
+        def score_pairs(self, queries, docs):
+            # longer text = more relevant, a deterministic fake signal
+            return np.array([float(len(d)) for d in docs])
+
+    orch = LegalOrchestrator(
+        engine, llm=None, reranker=FakeCE(), rerank_candidates=6,
+    )
+    reranked = orch.rerank_results(
+        "q", [
+            {"score": 0.9, "chunk": chunks[0]},
+            {"score": 0.5, "chunk": {"text": "x" * 500,
+                                     "canonical_header": "L",
+                                     "metadata": {}}},
+            {"score": 0.1, "chunk": chunks[1]},
+        ],
+    )
+    assert reranked[0]["chunk"]["canonical_header"] == "L"
+    scores = [r["score"] for r in reranked]
+    assert scores == sorted(scores, reverse=True)
+    assert max(scores) == 1.0 and min(scores) == 0.0

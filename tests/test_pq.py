@@ -1,0 +1,305 @@
+"""Product-quantization capacity tier: training, coding, and the
+segment-max candidate kernel (ops/pq.py).
+
+The reference gets PQ from the FAISS C++ library it depends on
+(requirements.txt: faiss-cpu ships IndexPQ/IVFPQ); here it is a JAX
+k-means trainer plus a Pallas one-hot-matmul scoring kernel, verified
+against brute-force goldens in interpret mode.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from legal_rag_tpu.ops.pq import (
+    PQCodebook, decode_pq, encode_pq, pq_search_rescored, pq_topk,
+    train_pq,
+)
+
+D, M = 64, 8
+
+
+@pytest.fixture(scope="module")
+def clustered():
+    """Synthetic corpus with real cluster structure (PQ's use case)."""
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((50, D)).astype(np.float32)
+    assign = rng.integers(0, 50, 2000)
+    docs = centers[assign] + 0.15 * rng.standard_normal((2000, D))
+    docs = docs.astype(np.float32)
+    docs /= np.linalg.norm(docs, axis=1, keepdims=True)
+    q = centers[rng.integers(0, 50, 16)] + 0.2 * rng.standard_normal((16, D))
+    q = q.astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    return docs, q
+
+
+def _pq_scores_brute(queries, codes, cb):
+    """Golden: decode-free LUT scoring in numpy."""
+    q, d = queries.shape
+    m, dsub = cb.m, cb.dsub
+    lut = np.einsum(
+        "qmd,mcd->qmc", queries.reshape(q, m, dsub), cb.codebooks
+    )  # [Q, m, 256]
+    qi = np.arange(q)[:, None]
+    out = np.zeros((q, codes.shape[0]), dtype=np.float32)
+    for mi in range(m):
+        out += lut[qi, mi, codes[None, :, mi]]
+    return out
+
+
+def test_train_encode_shapes_and_quality(clustered):
+    docs, _ = clustered
+    cb = train_pq(docs, m=M, iters=15, seed=0)
+    assert cb.codebooks.shape == (M, 256, D // M)
+    codes = encode_pq(docs, cb)
+    assert codes.shape == (2000, M) and codes.dtype == np.uint8
+
+    recon = decode_pq(codes, cb)
+    err_trained = np.mean((recon - docs) ** 2)
+    # untrained (random-init) codebooks must be clearly worse
+    rng = np.random.default_rng(1)
+    cb_rand = PQCodebook(
+        rng.standard_normal(cb.codebooks.shape).astype(np.float32)
+    )
+    err_rand = np.mean((decode_pq(encode_pq(docs, cb_rand), cb_rand) - docs) ** 2)
+    assert err_trained < 0.25 * err_rand
+    # and reconstruction should be decent in absolute terms
+    assert err_trained < 0.01
+
+
+def test_pq_topk_exact_under_pq_metric(clustered):
+    """pq_topk must return the EXACT top-k by PQ score (score desc,
+    id asc): every top-k doc lives in a segment whose max >= s_k, and
+    at most k (+ tie pad) segments can have max >= s_k, so the top
+    (k+16) segments always cover the true top-k members."""
+    docs, q = clustered
+    cb = train_pq(docs, m=M, iters=10, seed=0)
+    codes = encode_pq(docs, cb)
+
+    s, ids = pq_topk(
+        jnp.asarray(q), jnp.asarray(codes.T), jnp.asarray(cb.codebooks),
+        k=10, block_n=512, seg_rows=8, interpret=True,
+    )
+    s, ids = np.asarray(s), np.asarray(ids)
+
+    golden = _pq_scores_brute(q, codes, cb)
+    for qi in range(q.shape[0]):
+        order = np.lexsort((np.arange(2000), -golden[qi]))[:10]
+        np.testing.assert_array_equal(ids[qi], order)
+        np.testing.assert_allclose(s[qi], golden[qi][order], rtol=2e-4)
+
+
+def test_pq_topk_padding_and_small_corpus():
+    """N not a multiple of block_n: pad docs must never be returned."""
+    rng = np.random.default_rng(3)
+    docs = rng.standard_normal((777, D)).astype(np.float32)
+    docs /= np.linalg.norm(docs, axis=1, keepdims=True)
+    q = docs[:4] + 0.01 * rng.standard_normal((4, D)).astype(np.float32)
+    cb = train_pq(docs, m=M, iters=5, seed=0)
+    codes = encode_pq(docs, cb)
+    _, ids = pq_topk(
+        jnp.asarray(q), jnp.asarray(codes.T), jnp.asarray(cb.codebooks),
+        k=20, block_n=512, seg_rows=8, interpret=True,
+    )
+    ids = np.asarray(ids)
+    assert (ids >= 0).all() and (ids < 777).all()
+
+
+def test_pq_topk_n_valid_masks_mesh_padding():
+    """Traced n_valid (the sharded path's padding contract): docs at or
+    past n_valid must never be returned even when their zero-padding
+    codes happen to score high under some codebook."""
+    rng = np.random.default_rng(7)
+    docs = rng.standard_normal((512, D)).astype(np.float32)
+    # make the "pad" region (last 128 rows) near-duplicates of the
+    # queries so an unmasked kernel would certainly return them
+    q = rng.standard_normal((4, D)).astype(np.float32)
+    docs[400:] = q[0] + 0.001 * rng.standard_normal((112, D))
+    cb = train_pq(docs, m=M, iters=5, seed=0)
+    codes = encode_pq(docs, cb)
+    _, ids = pq_topk(
+        jnp.asarray(q), jnp.asarray(codes.T), jnp.asarray(cb.codebooks),
+        k=20, n_valid=jnp.int32(400), block_n=256, seg_rows=8,
+        interpret=True,
+    )
+    assert (np.asarray(ids) < 400).all()
+
+
+@pytest.mark.parametrize("n_shards", [2, 8])
+def test_sharded_pq_matches_single_shard(clustered, corpus_texts, n_shards):
+    """PQ-coded sharded hybrid search: per-shard PQ top-C lists merge
+    into exactly the global PQ top-C (same superset argument as the
+    matmul path), so results are identical across mesh sizes."""
+    from legal_rag_tpu.ops.sparse import build_bm25
+    from legal_rag_tpu.parallel.mesh import make_mesh
+    from legal_rag_tpu.parallel.sharded import (
+        ShardedIndex, sharded_hybrid_search,
+    )
+
+    docs, q_emb = clustered
+    n = min(len(corpus_texts), docs.shape[0])
+    docs, q_emb = docs[:n], q_emb[:4]
+    bm25 = build_bm25(corpus_texts[:n])
+    queries = ["the police fir", "w1 w2 w3", "w5 police", "w100 the"]
+    budget = bm25.postings_budget(queries)
+    post_ids, post_w = bm25.gather_postings(queries, budget)
+    w = np.full(4, 0.5, dtype=np.float32)
+
+    def run(shards):
+        mesh = make_mesh(shards)
+        idx = ShardedIndex.from_embeddings(
+            docs, mesh, dtype="pq", pq_m=M
+        )
+        assert idx.docs_t.dtype == jnp.uint8
+        return sharded_hybrid_search(
+            idx.docs_t, jnp.asarray(post_ids), jnp.asarray(post_w),
+            jnp.asarray(q_emb), jnp.asarray(w), None, idx.pq_codebooks,
+            mesh=mesh, k=5, c=10, n_docs=n, mode="weighted",
+        )
+
+    f1, i1, s1, k1 = (np.asarray(x) for x in run(1))
+    fN, iN, sN, kN = (np.asarray(x) for x in run(n_shards))
+    np.testing.assert_array_equal(i1, iN)
+    np.testing.assert_allclose(f1, fN, rtol=1e-5, atol=1e-6)
+    assert ((i1 >= 0) & (i1 < n)).all()
+
+
+def _tiny_cfg(dtype="pq", oversample=4):
+    from legal_rag_tpu.config import (
+        DenseConfig, EncoderConfig, RetrievalConfig, ShardingConfig,
+    )
+
+    return RetrievalConfig(
+        dense=DenseConfig(dtype=dtype, pq_m=8, int8_oversample=oversample),
+        encoder=EncoderConfig(
+            vocab_size=4000, hidden=32, layers=2, heads=4,
+            intermediate=64, max_len=64, encode_batch=16,
+        ),
+        sharding=ShardingConfig(num_shards=4),
+    )
+
+
+@pytest.fixture(scope="module")
+def pq_store(corpus_texts, tmp_path_factory):
+    """A store built WITH persisted PQ artifacts (build --pq-m 8)."""
+    from legal_rag_tpu.index.builder import build_index
+
+    chunks = [
+        {
+            "text": t,
+            "metadata": {"law": "TEST", "section": str(i),
+                         "unit_type": "section"},
+            "canonical_header": f"TEST Section {i}",
+            "section_id": f"TEST_{i}",
+        }
+        for i, t in enumerate(corpus_texts)
+    ]
+    d = tmp_path_factory.mktemp("pq_store")
+    return build_index(chunks, config=_tiny_cfg(), store_dir=d, pq_m=8), d
+
+
+def test_pq_store_roundtrip(pq_store):
+    """PQ codes + codebooks persist in the manifest (sha256'd) and load
+    back bit-identical, so serving skips boot-time k-means."""
+    from legal_rag_tpu.index.store import VectorStore
+
+    store, d = pq_store
+    assert store.pq_codes is not None
+    assert "pq.npz" in store.manifest["artifacts"]
+    loaded = VectorStore.load(d)
+    np.testing.assert_array_equal(loaded.pq_codes, store.pq_codes)
+    np.testing.assert_array_equal(loaded.pq_codebooks, store.pq_codebooks)
+
+
+def test_engine_pq_mode_matches_fp32(pq_store):
+    """dtype='pq' engine (PQ candidates + fp32 rescore) vs the exact
+    fp32 engine on the same store.
+
+    With the oversampled candidate list covering the whole corpus
+    (k * oversample >= n_docs), the fp32 rescore narrows to exactly the
+    true dense top-C pool, so results must EQUAL the exact engine's —
+    the same exactness-recovery contract the int8 mode tests pin.
+    At the default oversample (4), results only need high overlap (the
+    PQ metric is approximate)."""
+    from legal_rag_tpu.index.store import VectorStore
+    from legal_rag_tpu.retrieval.engine import RetrievalEngine
+
+    store, d = pq_store
+    loaded = VectorStore.load(d)
+    eng_full = RetrievalEngine(loaded, config=_tiny_cfg("pq", oversample=32))
+    assert eng_full.index.docs_t.dtype == jnp.uint8   # loaded artifacts
+    eng_pq = RetrievalEngine(loaded, config=_tiny_cfg("pq"))
+    eng_fp = RetrievalEngine(loaded, config=_tiny_cfg("float32"))
+
+    queries = ["the police fir", "w1 w2 w3", "w5 police", "w100 the"]
+    res_full = eng_full.search_batch(queries, k=5)
+    res_pq = eng_pq.search_batch(queries, k=5)
+    res_fp = eng_fp.search_batch(queries, k=5)
+
+    agree = 0
+    for rfull, rp, rf in zip(res_full, res_pq, res_fp):
+        # full-corpus oversample: exact equality with the fp32 engine
+        assert [r.doc_id for r in rfull] == [r.doc_id for r in rf]
+        np.testing.assert_allclose(
+            [r.score for r in rfull], [r.score for r in rf],
+            rtol=1e-5, atol=1e-6,
+        )
+        # default oversample: approximate but strongly overlapping
+        ids_p = [r.doc_id for r in rp]
+        ids_f = [r.doc_id for r in rf]
+        agree += len(set(ids_p) & set(ids_f)) / max(len(ids_f), 1)
+        scores = [r.score for r in rp]   # rescored: fp32, descending
+        assert all(a >= b - 1e-6 for a, b in zip(scores, scores[1:]))
+    assert agree / len(queries) >= 0.7
+
+
+def test_engine_pq_trains_on_the_fly(corpus_texts):
+    """dtype='pq' against a store WITHOUT persisted artifacts trains
+    codebooks at init (convenience path) and still serves."""
+    from legal_rag_tpu.index.builder import build_index
+    from legal_rag_tpu.retrieval.engine import RetrievalEngine
+
+    chunks = [
+        {
+            "text": t,
+            "metadata": {"law": "TEST", "section": str(i),
+                         "unit_type": "section"},
+            "canonical_header": f"TEST Section {i}",
+            "section_id": f"TEST_{i}",
+        }
+        for i, t in enumerate(corpus_texts[:32])
+    ]
+    store = build_index(chunks, config=_tiny_cfg())
+    assert store.pq_codes is None
+    eng = RetrievalEngine(store, config=_tiny_cfg("pq"))
+    assert eng.index.docs_t.dtype == jnp.uint8
+    out = eng.search_batch(["police fir", "w1 w2"], k=3)
+    assert all(len(row) > 0 for row in out)
+    assert all(0 <= r.doc_id < 32 for row in out for r in row)
+
+
+def test_pq_rescored_recall_vs_exact(clustered):
+    """Capacity-mode end-to-end: PQ candidates + fp32 exact rescore
+    must recover near-exact recall on clustered data, and the returned
+    ordering must be the exact fp32 ordering of the returned set."""
+    docs, q = clustered
+    cb = train_pq(docs, m=M, iters=15, seed=0)
+    codes_t = jnp.asarray(encode_pq(docs, cb).T)
+
+    scores, ids = pq_search_rescored(
+        q, codes_t, cb, docs, k=10, oversample=8, interpret=True,
+    )
+    exact = q @ docs.T
+    hit = 0
+    for qi in range(q.shape[0]):
+        gold = set(np.argsort(-exact[qi], kind="stable")[:10].tolist())
+        hit += len(gold & set(ids[qi].tolist())) / 10
+        # returned scores must be the exact fp32 inner products,
+        # descending
+        np.testing.assert_allclose(
+            scores[qi], exact[qi][ids[qi]], rtol=1e-5
+        )
+        assert (np.diff(scores[qi]) <= 1e-7).all()
+    assert hit / q.shape[0] >= 0.9
