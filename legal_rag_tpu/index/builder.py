@@ -98,7 +98,9 @@ def build_index(
         # (omitted when 0 so pre-existing store hashes stay valid)
         h.update(f"finetune:{finetune_steps}".encode())
     if pq_m:
-        h.update(f"pq:{pq_m}".encode())
+        # "opq8" fingerprints the quantizer recipe (8 OPQ iterations);
+        # bump if the training procedure changes so stale stores rebuild
+        h.update(f"pq:{pq_m}:opq8".encode())
     if rerank_steps:
         h.update(f"rerank:{rerank_steps}".encode())
     if encoder is not None:
@@ -159,15 +161,16 @@ def build_index(
                 f"trained cross-encoder reranker {rerank_steps} steps "
                 f"(loss {losses[0]:.3f} -> {losses[-1]:.3f})"
             )
-    pq_codes = pq_codebooks = None
+    pq_codes = pq_codebooks = pq_rotation = None
     if pq_m > 0:
         from legal_rag_tpu.ops.pq import encode_pq, train_pq
 
-        cb = train_pq(embeddings, m=pq_m)
+        cb = train_pq(embeddings, m=pq_m, opq_iters=8)
         pq_codes = encode_pq(embeddings, cb)
         pq_codebooks = cb.codebooks
+        pq_rotation = cb.rotation
         if log_fn:
-            log_fn(f"trained PQ codebooks (m={pq_m}, {pq_m} B/doc)")
+            log_fn(f"trained OPQ+PQ codebooks (m={pq_m}, {pq_m} B/doc)")
     bm25 = build_bm25(
         texts,
         k1=config.bm25.k1,
@@ -199,6 +202,7 @@ def build_index(
         encoder_params=encoder.params,
         pq_codes=pq_codes,
         pq_codebooks=pq_codebooks,
+        pq_rotation=pq_rotation,
         ce_params=ce_params,
     )
     if store_dir is not None:

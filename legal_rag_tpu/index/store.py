@@ -70,6 +70,7 @@ class VectorStore:
     pq_codebooks: Optional[np.ndarray] = None   # [m, 256, dsub] f32 —
                                                 # trained once at build
                                                 # so loads skip k-means
+    pq_rotation: Optional[np.ndarray] = None    # [D, D] OPQ rotation
     ce_params: Optional[Dict] = None   # trained cross-encoder reranker
                                        # checkpoint {"trunk","head"}
                                        # (models/cross_encoder.py)
@@ -117,11 +118,12 @@ class VectorStore:
 
             save_params_npz(self.encoder_params, store_dir / "encoder.npz")
         if self.pq_codes is not None:
-            np.savez_compressed(
-                store_dir / "pq.npz",
-                codes=self.pq_codes,
-                codebooks=self.pq_codebooks,
-            )
+            pq_arrays = {
+                "codes": self.pq_codes, "codebooks": self.pq_codebooks,
+            }
+            if self.pq_rotation is not None:
+                pq_arrays["rotation"] = self.pq_rotation
+            np.savez_compressed(store_dir / "pq.npz", **pq_arrays)
         if self.ce_params is not None:
             from legal_rag_tpu.models.convert import save_params_npz
 
@@ -210,10 +212,12 @@ class VectorStore:
             from legal_rag_tpu.models.convert import load_params_npz
 
             encoder_params = load_params_npz(store_dir / "encoder.npz")
-        pq_codes = pq_codebooks = None
+        pq_codes = pq_codebooks = pq_rotation = None
         if "pq.npz" in manifest.get("artifacts", {}):
             pq_data = np.load(store_dir / "pq.npz")
             pq_codes, pq_codebooks = pq_data["codes"], pq_data["codebooks"]
+            if "rotation" in pq_data.files:
+                pq_rotation = pq_data["rotation"]
         ce_params = None
         if "cross_encoder.npz" in manifest.get("artifacts", {}):
             from legal_rag_tpu.models.convert import load_params_npz
@@ -232,5 +236,6 @@ class VectorStore:
             encoder_params=encoder_params,
             pq_codes=pq_codes,
             pq_codebooks=pq_codebooks,
+            pq_rotation=pq_rotation,
             ce_params=ce_params,
         )

@@ -58,9 +58,16 @@ class PQCodebook(NamedTuple):
     """Trained product-quantization codebooks.
 
     codebooks: ``[m, 256, dsub]`` float32 — 256 centroids per subspace.
+    rotation:  optional ``[D, D]`` orthogonal OPQ rotation. Vectors are
+      quantized in the rotated space (``x @ R``); since
+      ``q·x ≈ (q R)·(x̂ R)``, queries rotate at prep time and the
+      scoring kernel never changes. OPQ spreads variance evenly across
+      subspaces, cutting quantization error on anisotropic embeddings
+      (the common case for trained encoders).
     """
 
     codebooks: np.ndarray
+    rotation: Optional[np.ndarray] = None
 
     @property
     def m(self) -> int:
@@ -73,6 +80,12 @@ class PQCodebook(NamedTuple):
     @property
     def dim(self) -> int:
         return self.m * self.dsub
+
+    def rotate(self, x: np.ndarray) -> np.ndarray:
+        """Project into the quantization space (no-op without OPQ)."""
+        if self.rotation is None:
+            return x
+        return np.asarray(x, np.float32) @ self.rotation
 
 
 # ---------------------------------------------------------------------------
@@ -102,12 +115,28 @@ def _kmeans_subspace(x, init, iters: int):
     return out
 
 
+def _train_pq_sample(
+    x: np.ndarray, m: int, iters: int, rng: np.random.Generator,
+) -> np.ndarray:
+    """k-means codebooks for a pre-sampled ``[S, D]`` matrix."""
+    s, d = x.shape
+    dsub = d // m
+    xs = x.reshape(s, m, dsub).transpose(1, 0, 2)          # [m, S, dsub]
+    init_rows = rng.choice(s, size=256, replace=s < 256)
+    init = xs[:, init_rows, :]                             # [m, 256, dsub]
+    trained = jax.vmap(lambda a, c: _kmeans_subspace(a, c, iters))(
+        jnp.asarray(xs), jnp.asarray(init)
+    )
+    return np.asarray(trained, dtype=np.float32)
+
+
 def train_pq(
     embeddings: np.ndarray,
     m: int = 48,
     iters: int = 25,
     sample: int = 65536,
     seed: int = 0,
+    opq_iters: int = 0,
 ) -> PQCodebook:
     """Train per-subspace 256-centroid codebooks with k-means.
 
@@ -116,29 +145,44 @@ def train_pq(
     subspaces); a ``sample``-row subset keeps it O(sample) at any N.
     Initialization is a deterministic data sample (seeded), so builds
     are reproducible.
+
+    ``opq_iters > 0`` additionally learns an orthogonal OPQ rotation by
+    alternating optimization: quantize in the rotated space with a
+    cheap inner k-means, then solve the orthogonal Procrustes problem
+    ``min_R ||X R - X̂||_F`` (``R = U Vᵀ`` from ``svd(Xᵀ X̂)``) and
+    repeat. The final codebooks are trained at full ``iters`` in the
+    learned space. Reference parity note: faiss ships this as
+    ``OPQMatrix`` (faiss C++); here it is numpy SVD + the JAX k-means.
     """
     n, d = embeddings.shape
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
-    dsub = d // m
     rng = np.random.default_rng(seed)
     rows = (
         rng.choice(n, size=sample, replace=False) if n > sample
         else np.arange(n)
     )
     x = np.asarray(embeddings[rows], dtype=np.float32)
-    x = x.reshape(len(rows), m, dsub).transpose(1, 0, 2)  # [m, S, dsub]
-    init_rows = rng.choice(len(rows), size=256, replace=len(rows) < 256)
-    init = x[:, init_rows, :]                              # [m, 256, dsub]
-    trained = jax.vmap(lambda xs, cs: _kmeans_subspace(xs, cs, iters))(
-        jnp.asarray(x), jnp.asarray(init)
-    )
-    return PQCodebook(np.asarray(trained, dtype=np.float32))
+
+    rotation = None
+    if opq_iters > 0:
+        rotation = np.eye(d, dtype=np.float32)
+        for _ in range(opq_iters):
+            xr = x @ rotation
+            cb_t = PQCodebook(_train_pq_sample(xr, m, 6, rng))
+            recon = decode_pq(encode_pq(xr, cb_t), cb_t)   # [S, D]
+            u, _, vt = np.linalg.svd(x.T @ recon)
+            rotation = (u @ vt).astype(np.float32)
+        x = x @ rotation
+
+    trained = _train_pq_sample(x, m, iters, rng)
+    return PQCodebook(trained, rotation)
 
 
 def encode_pq(embeddings: np.ndarray, cb: PQCodebook,
               batch: int = 131072) -> np.ndarray:
-    """Assign every document to its nearest centroid per subspace.
+    """Assign every document to its nearest centroid per subspace
+    (in the OPQ-rotated space when the codebook carries a rotation).
     Returns ``codes [N, m]`` uint8. Batched so encode is O(batch)
     device memory at any N."""
     n, d = embeddings.shape
@@ -147,9 +191,12 @@ def encode_pq(embeddings: np.ndarray, cb: PQCodebook,
         raise ValueError(f"dim {d} != codebook dim {cb.dim}")
     c = jnp.asarray(cb.codebooks)                          # [m, 256, dsub]
     c_norm = 0.5 * jnp.sum(c * c, axis=2)                  # [m, 256]
+    rot = None if cb.rotation is None else jnp.asarray(cb.rotation)
 
     @jax.jit
     def assign(xb):
+        if rot is not None:
+            xb = xb @ rot
         xs = xb.reshape(xb.shape[0], m, dsub)
         # [B, m, 256]: batched matmul per subspace
         logits = jnp.einsum("bmd,mcd->bmc", xs, c) - c_norm[None]
@@ -165,11 +212,14 @@ def encode_pq(embeddings: np.ndarray, cb: PQCodebook,
 
 
 def decode_pq(codes: np.ndarray, cb: PQCodebook) -> np.ndarray:
-    """Reconstruct approximate vectors (debug/eval; search never does
-    this)."""
+    """Reconstruct approximate vectors in the ORIGINAL space
+    (debug/eval; search never does this)."""
     m = cb.m
     parts = [cb.codebooks[mi][codes[:, mi]] for mi in range(m)]
-    return np.concatenate(parts, axis=1)
+    recon = np.concatenate(parts, axis=1)
+    if cb.rotation is not None:
+        recon = recon @ cb.rotation.T
+    return recon
 
 
 # ---------------------------------------------------------------------------
@@ -355,7 +405,7 @@ def pq_search_rescored(
     from legal_rag_tpu.ops.dense import exact_rescore
 
     _, cand = pq_topk(
-        jnp.asarray(queries, jnp.float32), codes_t,
+        jnp.asarray(cb.rotate(np.asarray(queries)), jnp.float32), codes_t,
         jnp.asarray(cb.codebooks), k * oversample, interpret=interpret,
     )
     fused, ids, _, _ = exact_rescore(

@@ -442,6 +442,10 @@ class ShardedIndex:
     n_docs: int
     doc_scales: Optional[jax.Array] = None   # [Npad] f32, int8 mode only
     pq_codebooks: Optional[jax.Array] = None  # [m, 256, dsub], pq mode
+    pq_rotation: Optional[jax.Array] = None   # [D, D] OPQ rotation —
+                                              # queries rotate at prep
+                                              # time (engine), kernel
+                                              # unchanged
 
     @classmethod
     def from_pq(
@@ -449,6 +453,7 @@ class ShardedIndex:
         codes: np.ndarray,           # [N, m] uint8
         codebooks: np.ndarray,       # [m, 256, dsub] f32
         mesh: Optional[Mesh] = None,
+        rotation: Optional[np.ndarray] = None,
     ) -> "ShardedIndex":
         from legal_rag_tpu.parallel.mesh import make_mesh
 
@@ -466,6 +471,10 @@ class ShardedIndex:
             mesh=mesh,
             n_docs=n,
             pq_codebooks=jnp.asarray(codebooks, dtype=jnp.float32),
+            pq_rotation=(
+                None if rotation is None
+                else jnp.asarray(rotation, dtype=jnp.float32)
+            ),
         )
 
     @classmethod
@@ -488,9 +497,11 @@ class ShardedIndex:
             # artifacts instead (index/store.py) so loads skip k-means
             from legal_rag_tpu.ops.pq import encode_pq, train_pq
 
-            cb = train_pq(np.asarray(embeddings, np.float32), m=pq_m)
+            cb = train_pq(
+                np.asarray(embeddings, np.float32), m=pq_m, opq_iters=8,
+            )
             codes = encode_pq(np.asarray(embeddings, np.float32), cb)
-            return cls.from_pq(codes, cb.codebooks, mesh)
+            return cls.from_pq(codes, cb.codebooks, mesh, cb.rotation)
         # keep the transposed layout contiguous per shard column-block
         docs_t = np.zeros((d, n_pad), dtype=np.float32)
         docs_t[:, :n] = np.ascontiguousarray(embeddings.T)

@@ -120,7 +120,8 @@ class RetrievalEngine:
         if config.dense.dtype == "pq" and store.pq_codes is not None:
             # build-time-trained PQ artifacts: loads skip k-means
             self.index = ShardedIndex.from_pq(
-                store.pq_codes, store.pq_codebooks, self.mesh
+                store.pq_codes, store.pq_codebooks, self.mesh,
+                rotation=store.pq_rotation,
             )
         else:
             self.index = ShardedIndex.from_embeddings(
@@ -207,6 +208,14 @@ class RetrievalEngine:
 
         with self.timer.stage("encode"):
             q_emb = self.encoder.encode(queries)
+        # OPQ: the device pass scores in the rotated space
+        # (q·x ≈ (qR)·(x̂R)); the fp32 rescore below stays in the
+        # original space against the mmap'd embeddings
+        q_dev = q_emb
+        if self.index.pq_rotation is not None:
+            q_dev = np.asarray(q_emb, np.float32) @ np.asarray(
+                self.index.pq_rotation
+            )
         with self.timer.stage("postings"):
             budget = _pad_pow2(self.store.bm25.postings_budget(queries))
             post_ids, post_w = self.store.bm25.gather_postings(queries, budget)
@@ -215,7 +224,7 @@ class RetrievalEngine:
                 self.index.docs_t,
                 jnp.asarray(post_ids),
                 jnp.asarray(post_w),
-                jnp.asarray(q_emb),
+                jnp.asarray(q_dev),
                 jnp.asarray(np.asarray(hybrid_weights, dtype=np.float32)),
                 self.index.doc_scales,
                 self.index.pq_codebooks,

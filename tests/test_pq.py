@@ -69,6 +69,48 @@ def test_train_encode_shapes_and_quality(clustered):
     assert err_trained < 0.01
 
 
+def test_opq_rotation_improves_anisotropic_reconstruction():
+    """OPQ's learned rotation must (a) be orthogonal, (b) beat plain PQ
+    reconstruction on data whose variance is concentrated in a few
+    correlated directions — the regime trained text encoders live in."""
+    rng = np.random.default_rng(5)
+    # low-rank-ish anisotropic corpus: variance concentrated + mixed
+    # across subspace boundaries by a random linear map
+    z = rng.standard_normal((4000, D)).astype(np.float32)
+    scales = np.exp(-np.arange(D) / 8.0).astype(np.float32)
+    mix = rng.standard_normal((D, D)).astype(np.float32) / np.sqrt(D)
+    docs = (z * scales) @ mix
+    docs /= np.linalg.norm(docs, axis=1, keepdims=True)
+
+    cb_plain = train_pq(docs, m=M, iters=12, seed=0)
+    cb_opq = train_pq(docs, m=M, iters=12, seed=0, opq_iters=6)
+    assert cb_opq.rotation is not None and cb_plain.rotation is None
+    r = cb_opq.rotation
+    np.testing.assert_allclose(r @ r.T, np.eye(D), atol=1e-4)
+
+    err_plain = np.mean((decode_pq(encode_pq(docs, cb_plain), cb_plain) - docs) ** 2)
+    err_opq = np.mean((decode_pq(encode_pq(docs, cb_opq), cb_opq) - docs) ** 2)
+    assert err_opq < 0.9 * err_plain, (err_opq, err_plain)
+
+
+def test_opq_end_to_end_recall(clustered):
+    """pq_search_rescored with an OPQ codebook: queries rotate at prep
+    time (PQCodebook.rotate), candidates still rescore exactly."""
+    docs, q = clustered
+    cb = train_pq(docs, m=M, iters=15, seed=0, opq_iters=4)
+    codes_t = jnp.asarray(encode_pq(docs, cb).T)
+    scores, ids = pq_search_rescored(
+        q, codes_t, cb, docs, k=10, oversample=8, interpret=True,
+    )
+    exact = q @ docs.T
+    hit = 0
+    for qi in range(q.shape[0]):
+        gold = set(np.argsort(-exact[qi], kind="stable")[:10].tolist())
+        hit += len(gold & set(ids[qi].tolist())) / 10
+        np.testing.assert_allclose(scores[qi], exact[qi][ids[qi]], rtol=1e-5)
+    assert hit / q.shape[0] >= 0.9
+
+
 def test_pq_topk_exact_under_pq_metric(clustered):
     """pq_topk must return the EXACT top-k by PQ score (score desc,
     id asc): every top-k doc lives in a segment whose max >= s_k, and
@@ -207,10 +249,12 @@ def test_pq_store_roundtrip(pq_store):
 
     store, d = pq_store
     assert store.pq_codes is not None
+    assert store.pq_rotation is not None   # OPQ on by default at build
     assert "pq.npz" in store.manifest["artifacts"]
     loaded = VectorStore.load(d)
     np.testing.assert_array_equal(loaded.pq_codes, store.pq_codes)
     np.testing.assert_array_equal(loaded.pq_codebooks, store.pq_codebooks)
+    np.testing.assert_array_equal(loaded.pq_rotation, store.pq_rotation)
 
 
 def test_engine_pq_mode_matches_fp32(pq_store):
