@@ -27,7 +27,9 @@ class DenseConfig:
                              # r2 shootout; see parallel/sharded.py)
     int8_rescore: bool = True       # exact fp32 rescore of int8/pq candidates
     int8_oversample: int = 4        # candidate oversampling factor for rescore
-    pq_m: int = 48                  # PQ subspaces (bytes/doc) when dtype="pq"
+    pq_m: int = 48                  # PQ packed bytes/doc when dtype="pq"
+                                    # (2*pq_m nibble subspaces; dim must
+                                    # divide by 2*pq_m)
 
 
 @dataclasses.dataclass(frozen=True)

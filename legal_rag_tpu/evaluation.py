@@ -130,7 +130,10 @@ def evaluate_store(
     ``dense`` runs the production weighted program with weight 0 (the
     fused score then IS the dense score over dense candidates);
     ``bm25`` ranks the whole corpus by sparse score alone; ``weighted``
-    and ``rrf`` are the two production fusion modes.
+    and ``rrf`` are the two production fusion modes. ``pq`` (opt-in)
+    runs dense-only through the PQ capacity tier (dtype='pq' engine,
+    oversample + fp32 rescore) — its gap vs ``dense`` is the measured
+    cost of 32x compression on this corpus.
     """
     from legal_rag_tpu.retrieval.engine import RetrievalEngine
 
@@ -160,6 +163,21 @@ def evaluate_store(
         elif mode in ("weighted", "rrf"):
             ranked = ids_from_results(
                 engine.search_batch(queries, k=kmax, mode=mode)
+            )
+        elif mode == "pq":
+            import dataclasses
+
+            cfg_pq = dataclasses.replace(
+                config, dense=dataclasses.replace(config.dense, dtype="pq")
+            )
+            eng_pq = RetrievalEngine(
+                store, config=cfg_pq, encoder=engine.encoder
+            )
+            ranked = ids_from_results(
+                eng_pq.search_batch(
+                    queries, k=kmax,
+                    hybrid_weights=[0.0] * len(queries), mode="weighted",
+                )
             )
         else:
             raise ValueError(f"unknown mode {mode!r}")

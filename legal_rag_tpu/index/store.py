@@ -66,8 +66,9 @@ class VectorStore:
                                            # docs (fine-tuned/converted
                                            # weights are not derivable
                                            # from seed+config)
-    pq_codes: Optional[np.ndarray] = None       # [N, m] uint8 PQ codes
-    pq_codebooks: Optional[np.ndarray] = None   # [m, 256, dsub] f32 —
+    pq_codes: Optional[np.ndarray] = None       # [N, m] uint8 packed
+                                                # 4-bit PQ codes
+    pq_codebooks: Optional[np.ndarray] = None   # [2m, 16, dsub] f32 —
                                                 # trained once at build
                                                 # so loads skip k-means
     pq_rotation: Optional[np.ndarray] = None    # [D, D] OPQ rotation

@@ -4,35 +4,37 @@ The storage ladder for a `[N, 384]` document matrix on one chip:
 
   fp32 1536 B/doc -> bf16 768 B/doc -> int8 384 B/doc -> PQ m B/doc
 
-PQ splits each vector into ``m`` subspaces of ``D/m`` dims and stores
-one uint8 centroid code per subspace (codebooks of 256 centroids each,
-k-means-trained). At the default ``m=48`` that is 48 B/doc — 32x
-smaller than fp32 — so ~300M documents fit in a v5e's 16 GB HBM where
-fp32 flat search caps out at ~10M. The reference's FAISS dependency
-ships this as ``IndexPQ``/``IVFPQ`` (faiss C++); here it is a JAX
-k-means trainer plus a Pallas scoring kernel, and it composes with
-:func:`legal_rag_tpu.ops.dense.exact_rescore` the same way the int8
-mode does: PQ generates an oversampled candidate list fast and small,
-the host rescores just those docs' fp32 vectors from the mmap'd store,
-and final ordering is exact.
+PQ splits each vector into subspaces and stores one centroid code per
+subspace (codebooks k-means-trained). This implementation is **4-bit**
+PQ: ``2*m`` subspaces of 16 centroids each, two codes packed per byte
+— ``m`` bytes/doc (default 48, 32x smaller than fp32), so ~300M
+documents fit in a v5e's 16 GB HBM where fp32 flat search caps out at
+~10M. The reference's FAISS dependency ships the 8-bit variant as
+``IndexPQ``/``IVFPQ`` (faiss C++); ScaNN uses the 4-bit variant for
+exactly the reason it wins here.
 
-Scoring never decompresses the corpus. For queries ``q`` the inner
-product against a PQ-coded doc is ``sum_m LUT[q, m, code[n, m]]`` with
-``LUT = q_m . C_m^T`` per subspace — a table lookup, which on TPU is
-executed as an MXU one-hot matmul per subspace: a ``[256, BN]``
-one-hot (sublane iota vs the subspace's code row) contracted with the
-``[256, Q]`` LUT slice, accumulated over ``mi``. That trades gathers
-(slow on TPU) for dense matmuls (what the MXU is for): the kernel
-reads ``m`` bytes per doc from HBM and is compute-bound on MXU passes,
-not bandwidth-bound like the bf16 flat sweep. Codes live TRANSPOSED
-(``[m, N]``) so each subspace is a sublane row — the layout is chosen
-at index build time to make the hot loop relayout-free.
+Why 4-bit is the TPU-shaped choice: scoring never decompresses — the
+inner product against a coded doc is ``sum_s LUT[s, code[n, s]]``, a
+table lookup, executed on the MXU as a one-hot matmul per subspace.
+Building a one-hot costs VPU work proportional to its WIDTH: 8-bit
+codes need ``[block, 256]`` one-hots (measured 137 ms / 1M docs /
+64-query batch — the VPU wall), while 4-bit needs ``[block, 16]`` —
+16x less comparison work for the same bytes/doc (measured 24 ms / 1M,
+kernel-bound; the codes themselves are only 48 MB). This mirrors the
+SIMD-register justification for 4-bit PQ on CPUs (pshufb's 16-lane
+shuffle); on TPU the "register width" is the one-hot the VPU must
+materialize. Mosaic note: the 16-wide one-hots feed per-subspace
+``K=16`` dots — summing them equals the block-diagonal ``K=128`` dot,
+and an in-kernel lane ``concatenate`` (the obvious way to build the
+wide one-hot) crashes the TPU backend compiler, so small dots it is.
 
 Selection reuses the two-phase shape (ops/dense.py): the kernel emits
 per-*segment* maxima (segment = ``seg_rows`` docs, lane-aligned), a
 tiny XLA phase-2 picks top segments, gathers only those segments'
-codes, rescores them exactly under PQ, and returns an oversampled
-candidate list for the fp32 rescore.
+codes, rescores them exactly under the PQ metric (fp32 LUT), and
+returns an oversampled candidate list for the fp32 rescore
+(:func:`legal_rag_tpu.ops.dense.exact_rescore`), same exactness-
+recovery contract as the int8 mode.
 
 Reference parity note: FAISS `IndexFlatIP` (create_vector_store.py:55)
 is exact; PQ is the capacity mode the reference's corpus never needed.
@@ -49,15 +51,16 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 _NEG_F32 = float(np.finfo(np.float32).min)
 
 
 class PQCodebook(NamedTuple):
-    """Trained product-quantization codebooks.
+    """Trained product-quantization codebooks (4-bit).
 
-    codebooks: ``[m, 256, dsub]`` float32 — 256 centroids per subspace.
+    codebooks: ``[2m, 16, dsub]`` float32 — 16 centroids per nibble
+      subspace; byte ``b`` of a packed code holds subspaces ``2b`` (low
+      nibble) and ``2b+1`` (high nibble).
     rotation:  optional ``[D, D]`` orthogonal OPQ rotation. Vectors are
       quantized in the rotated space (``x @ R``); since
       ``q·x ≈ (q R)·(x̂ R)``, queries rotate at prep time and the
@@ -70,8 +73,13 @@ class PQCodebook(NamedTuple):
     rotation: Optional[np.ndarray] = None
 
     @property
-    def m(self) -> int:
+    def n_subspaces(self) -> int:
         return self.codebooks.shape[0]
+
+    @property
+    def m(self) -> int:
+        """Packed bytes per document."""
+        return self.codebooks.shape[0] // 2
 
     @property
     def dsub(self) -> int:
@@ -79,7 +87,7 @@ class PQCodebook(NamedTuple):
 
     @property
     def dim(self) -> int:
-        return self.m * self.dsub
+        return self.n_subspaces * self.dsub
 
     def rotate(self, x: np.ndarray) -> np.ndarray:
         """Project into the quantization space (no-op without OPQ)."""
@@ -96,7 +104,7 @@ class PQCodebook(NamedTuple):
 @functools.partial(jax.jit, static_argnames=("iters",))
 def _kmeans_subspace(x, init, iters: int):
     """Lloyd's k-means for one subspace: ``x [S, dsub]``, ``init
-    [256, dsub]``. Returns updated centroids. Empty clusters keep their
+    [K, dsub]``. Returns updated centroids. Empty clusters keep their
     previous centroid (deterministic; fine for codebook purposes)."""
 
     def step(c, _):
@@ -104,8 +112,8 @@ def _kmeans_subspace(x, init, iters: int):
         logits = x @ c.T - 0.5 * jnp.sum(c * c, axis=1)[None, :]
         assign = jnp.argmax(logits, axis=1)
         onehot = jax.nn.one_hot(assign, c.shape[0], dtype=x.dtype)
-        counts = jnp.sum(onehot, axis=0)                       # [256]
-        sums = onehot.T @ x                                    # [256, dsub]
+        counts = jnp.sum(onehot, axis=0)
+        sums = onehot.T @ x
         new = jnp.where(
             counts[:, None] > 0, sums / jnp.maximum(counts, 1)[:, None], c
         )
@@ -116,14 +124,14 @@ def _kmeans_subspace(x, init, iters: int):
 
 
 def _train_pq_sample(
-    x: np.ndarray, m: int, iters: int, rng: np.random.Generator,
+    x: np.ndarray, n_sub: int, iters: int, rng: np.random.Generator,
 ) -> np.ndarray:
-    """k-means codebooks for a pre-sampled ``[S, D]`` matrix."""
+    """16-centroid k-means codebooks for a pre-sampled ``[S, D]``."""
     s, d = x.shape
-    dsub = d // m
-    xs = x.reshape(s, m, dsub).transpose(1, 0, 2)          # [m, S, dsub]
-    init_rows = rng.choice(s, size=256, replace=s < 256)
-    init = xs[:, init_rows, :]                             # [m, 256, dsub]
+    dsub = d // n_sub
+    xs = x.reshape(s, n_sub, dsub).transpose(1, 0, 2)   # [n_sub, S, dsub]
+    init_rows = rng.choice(s, size=16, replace=s < 16)
+    init = xs[:, init_rows, :]                          # [n_sub, 16, dsub]
     trained = jax.vmap(lambda a, c: _kmeans_subspace(a, c, iters))(
         jnp.asarray(xs), jnp.asarray(init)
     )
@@ -138,9 +146,10 @@ def train_pq(
     seed: int = 0,
     opq_iters: int = 0,
 ) -> PQCodebook:
-    """Train per-subspace 256-centroid codebooks with k-means.
+    """Train 4-bit PQ codebooks: ``2m`` nibble subspaces, 16 centroids
+    each (``m`` packed bytes/doc).
 
-    ``embeddings [N, D]`` with ``D % m == 0``. Training runs on
+    ``embeddings [N, D]`` with ``D % 2m == 0``. Training runs on
     whatever backend JAX has (one jitted scan per call, vmapped over
     subspaces); a ``sample``-row subset keeps it O(sample) at any N.
     Initialization is a deterministic data sample (seeded), so builds
@@ -155,8 +164,9 @@ def train_pq(
     ``OPQMatrix`` (faiss C++); here it is numpy SVD + the JAX k-means.
     """
     n, d = embeddings.shape
-    if d % m:
-        raise ValueError(f"dim {d} not divisible by m={m}")
+    n_sub = 2 * m
+    if d % n_sub:
+        raise ValueError(f"dim {d} not divisible by 2*m={n_sub}")
     rng = np.random.default_rng(seed)
     rows = (
         rng.choice(n, size=sample, replace=False) if n > sample
@@ -169,40 +179,41 @@ def train_pq(
         rotation = np.eye(d, dtype=np.float32)
         for _ in range(opq_iters):
             xr = x @ rotation
-            cb_t = PQCodebook(_train_pq_sample(xr, m, 6, rng))
+            cb_t = PQCodebook(_train_pq_sample(xr, n_sub, 6, rng))
             recon = decode_pq(encode_pq(xr, cb_t), cb_t)   # [S, D]
             u, _, vt = np.linalg.svd(x.T @ recon)
             rotation = (u @ vt).astype(np.float32)
         x = x @ rotation
 
-    trained = _train_pq_sample(x, m, iters, rng)
+    trained = _train_pq_sample(x, n_sub, iters, rng)
     return PQCodebook(trained, rotation)
 
 
 def encode_pq(embeddings: np.ndarray, cb: PQCodebook,
               batch: int = 131072) -> np.ndarray:
-    """Assign every document to its nearest centroid per subspace
-    (in the OPQ-rotated space when the codebook carries a rotation).
-    Returns ``codes [N, m]`` uint8. Batched so encode is O(batch)
-    device memory at any N."""
+    """Assign every document to its nearest centroid per nibble
+    subspace (in the OPQ-rotated space when the codebook carries a
+    rotation) and pack two 4-bit codes per byte. Returns ``codes
+    [N, m]`` uint8. Batched so encode is O(batch) device memory at
+    any N."""
     n, d = embeddings.shape
-    m, dsub = cb.m, cb.dsub
+    n_sub, dsub = cb.n_subspaces, cb.dsub
     if d != cb.dim:
         raise ValueError(f"dim {d} != codebook dim {cb.dim}")
-    c = jnp.asarray(cb.codebooks)                          # [m, 256, dsub]
-    c_norm = 0.5 * jnp.sum(c * c, axis=2)                  # [m, 256]
+    c = jnp.asarray(cb.codebooks)                       # [2m, 16, dsub]
+    c_norm = 0.5 * jnp.sum(c * c, axis=2)               # [2m, 16]
     rot = None if cb.rotation is None else jnp.asarray(cb.rotation)
 
     @jax.jit
     def assign(xb):
         if rot is not None:
             xb = xb @ rot
-        xs = xb.reshape(xb.shape[0], m, dsub)
-        # [B, m, 256]: batched matmul per subspace
+        xs = xb.reshape(xb.shape[0], n_sub, dsub)
         logits = jnp.einsum("bmd,mcd->bmc", xs, c) - c_norm[None]
-        return jnp.argmax(logits, axis=2).astype(jnp.uint8)
+        nib = jnp.argmax(logits, axis=2).astype(jnp.uint8)   # [B, 2m]
+        return nib[:, 0::2] | (nib[:, 1::2] << 4)            # packed
 
-    out = np.empty((n, m), dtype=np.uint8)
+    out = np.empty((n, cb.m), dtype=np.uint8)
     for lo in range(0, n, batch):
         hi = min(lo + batch, n)
         out[lo:hi] = np.asarray(
@@ -211,11 +222,22 @@ def encode_pq(embeddings: np.ndarray, cb: PQCodebook,
     return out
 
 
+def unpack_codes(codes: np.ndarray) -> np.ndarray:
+    """``[..., m]`` packed bytes -> ``[..., 2m]`` nibble codes."""
+    codes = np.asarray(codes)
+    out = np.empty(codes.shape[:-1] + (codes.shape[-1] * 2,), np.uint8)
+    out[..., 0::2] = codes & 0xF
+    out[..., 1::2] = codes >> 4
+    return out
+
+
 def decode_pq(codes: np.ndarray, cb: PQCodebook) -> np.ndarray:
     """Reconstruct approximate vectors in the ORIGINAL space
     (debug/eval; search never does this)."""
-    m = cb.m
-    parts = [cb.codebooks[mi][codes[:, mi]] for mi in range(m)]
+    nibs = unpack_codes(codes)
+    parts = [
+        cb.codebooks[s][nibs[:, s]] for s in range(cb.n_subspaces)
+    ]
     recon = np.concatenate(parts, axis=1)
     if cb.rotation is not None:
         recon = recon @ cb.rotation.T
@@ -233,41 +255,45 @@ def _pq_segmax_kernel(
     """Per (doc-block) grid step: PQ scores for the whole query batch
     against ``block_n`` docs, reduced to per-segment maxima.
 
-    codes_ref: ``[m, BN]`` uint8 (as int8 bits) — the ONLY per-doc HBM
-      read, m bytes/doc. TRANSPOSED layout: each subspace is a sublane
-      row, so selecting subspace ``mi`` is a static sublane slice and
-      the one-hot compare broadcasts the ``[1, BN]`` code row over 256
-      sublanes — zero cross-lane relayouts (the naive ``codes[:, mi]``
-      lane extraction cost ~10x the whole kernel).
-    lut_ref:   ``[m, 256, Q]`` bf16 — per-subspace lookup tables, each
-      a ``[256, Q]`` MXU RHS. bf16 keeps the VMEM working set inside
-      the 16 MB scoped budget (the MXU consumes bf16 anyway); phase 2
-      rescores candidates against the fp32 LUT, so returned scores stay
-      exact under the PQ metric.
+    codes_ref: ``[BN, m]`` uint8 packed nibbles — the ONLY per-doc HBM
+      read, m bytes/doc.
+    lut_ref:   ``[2m, 16, Q]`` bf16 — per-nibble-subspace lookup
+      tables, each a ``[16, Q]`` MXU RHS. bf16 is what the MXU
+      consumes; phase 2 rescores candidates against the fp32 LUT, so
+      returned scores stay exact under the PQ metric.
     m_ref:     ``[Q, BN/seg_rows]`` f32 segment maxima.
+
+    Per byte: ONE lane extract (cheap: lane select + free lane
+    broadcast), two 16-wide nibble compares on the VPU, two ``K=16``
+    MXU dots. The 16-wide one-hot is the point — an 8-bit layout needs
+    a 256-wide one-hot whose construction is 16x the VPU work and was
+    measured 6x slower end-to-end. NB an in-kernel lane
+    ``jnp.concatenate`` (to batch the small dots into one K=128 dot)
+    crashes the TPU backend compiler; the summed small dots compute
+    the identical block-diagonal contraction.
     """
     j = pl.program_id(0)
-    codes = codes_ref[:].astype(jnp.int32) & 0xFF          # uint8 bits
-    bn = codes.shape[1]
+    cc = codes_ref[:].astype(jnp.int32) & 0xFF
+    bn = cc.shape[0]
     qn = lut_ref.shape[2]
-
-    # sum_m onehot_T [256, BN]^T @ lut[mi] [256, Q] on the MXU, where
-    # onehot_T = (sublane_iota == code_row) — contraction over the
-    # sublane dim, so the one-hot never changes layout
-    subl = jax.lax.broadcasted_iota(jnp.int32, (256, bn), 0)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (bn, 16), 1)
     acc = jnp.zeros((bn, qn), dtype=jnp.float32)
-    for mi in range(m):
-        onehot_t = (codes[mi:mi + 1, :] == subl).astype(jnp.bfloat16)
+    for b in range(m):
+        col = cc[:, b][:, None]
+        lo = ((col & 0xF) == lanes).astype(jnp.bfloat16)
+        hi = (((col >> 4) & 0xF) == lanes).astype(jnp.bfloat16)
         acc = acc + jax.lax.dot_general(
-            onehot_t, lut_ref[mi],
-            (((0,), (0,)), ((), ())),
+            lo, lut_ref[2 * b], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = acc + jax.lax.dot_general(
+            hi, lut_ref[2 * b + 1], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
     base = j * block_n
     row = jax.lax.broadcasted_iota(jnp.int32, (bn, qn), 0) + base
     acc = jnp.where(row < n_real, acc, _NEG_F32)
-    # segment reduce along docs: [BN/sr, sr, Q] -> max over sr
     segs = bn // seg_rows
     m_ref[:] = jnp.max(acc.reshape(segs, seg_rows, qn), axis=1).T
 
@@ -278,28 +304,26 @@ def _pq_segmax_kernel(
 )
 def pq_topk(
     queries: jax.Array,
-    codes_t: jax.Array,
+    codes: jax.Array,
     codebooks: jax.Array,
     k: int,
     *,
     n_valid: Optional[jax.Array] = None,
-    block_n: int = 8192,
+    block_n: int = 4096,
     seg_rows: int = 8,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Top-k candidate generation over a PQ-coded corpus.
+    """Top-k candidate generation over a 4-bit-PQ-coded corpus.
 
     Args:
-      queries:   ``[Q, D]`` float queries.
-      codes_t:   ``[m, N]`` uint8 document codes, TRANSPOSED — the
-                 index-build-time layout (ShardedIndex.from_pq) that
-                 makes subspace selection a sublane slice in the kernel
-                 instead of a cross-lane extraction.
-      codebooks: ``[m, 256, dsub]`` float32.
+      queries:   ``[Q, D]`` float queries (pre-rotated when OPQ is in
+                 play — see :meth:`PQCodebook.rotate`).
+      codes:     ``[N, m]`` uint8 packed document codes.
+      codebooks: ``[2m, 16, dsub]`` float32.
       k:         candidates per query (callers oversample, then
                  :func:`legal_rag_tpu.ops.dense.exact_rescore` restores
                  exact fp32 ordering over just these candidates).
-      n_valid:   optional TRACED count of real docs; columns >= n_valid
+      n_valid:   optional TRACED count of real docs; rows >= n_valid
                  are mesh zero-padding (e.g. the last shard of a padded
                  ShardedIndex) and must never be returned. The kernel's
                  own static mask covers the block-alignment pad; this
@@ -312,20 +336,21 @@ def pq_topk(
     (PQ score desc, id asc).
     """
     q, d = queries.shape
-    m, n = codes_t.shape
-    dsub = d // m
+    n, m = codes.shape
+    n_sub = 2 * m
+    dsub = d // n_sub
 
-    # per-query per-subspace lookup tables: [m, 256, Q]
+    # per-query per-subspace lookup tables: [2m, 16, Q]
     lut = jnp.einsum(
         "qmd,mcd->mcq",
-        queries.astype(jnp.float32).reshape(q, m, dsub),
+        queries.astype(jnp.float32).reshape(q, n_sub, dsub),
         codebooks.astype(jnp.float32),
         precision=jax.lax.Precision.HIGHEST,
     )
 
     np_ = -(-n // block_n) * block_n
     if np_ != n:
-        codes_t = jnp.pad(codes_t, ((0, 0), (0, np_ - n)))
+        codes = jnp.pad(codes, ((0, np_ - n), (0, 0)))
     nb = np_ // block_n
     segs_per_block = block_n // seg_rows
 
@@ -337,13 +362,13 @@ def pq_topk(
         kernel,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((m, block_n), lambda j: (0, j)),
-            pl.BlockSpec((m, 256, q), lambda j: (0, 0, 0)),
+            pl.BlockSpec((block_n, m), lambda j: (j, 0)),
+            pl.BlockSpec((n_sub, 16, q), lambda j: (0, 0, 0)),
         ],
         out_specs=pl.BlockSpec((q, segs_per_block), lambda j: (0, j)),
         out_shape=jax.ShapeDtypeStruct((q, nb * segs_per_block), jnp.float32),
         interpret=interpret,
-    )(codes_t, lut.astype(jnp.bfloat16))
+    )(codes, lut.astype(jnp.bfloat16))
 
     if n_valid is not None:
         # traced validity: whole segments past n_valid can never hold a
@@ -363,17 +388,19 @@ def pq_topk(
     ).reshape(q, kk * seg_rows)
     member_safe = jnp.clip(member, 0, np_ - 1)
 
-    cand_codes = jnp.transpose(
-        jnp.take(codes_t, member_safe, axis=1), (1, 2, 0)
-    )                                                       # [Q, C, m]
+    cand_codes = jnp.take(codes, member_safe, axis=0)       # [Q, C, m]
+    # unpack nibbles: [Q, C, 2m]
+    cand_nibs = jnp.stack(
+        [cand_codes & 0xF, cand_codes >> 4], axis=-1
+    ).reshape(q, member_safe.shape[1], n_sub).astype(jnp.int32)
     # LUT lookup per (query, candidate, subspace) — small, XLA gather:
-    # lut is [m, 256, Q]; index with the candidate codes
-    lut_qmc = jnp.transpose(lut, (2, 0, 1))                 # [Q, m, 256]
+    # lut is [2m, 16, Q]; index with the candidate nibbles
+    lut_qmc = jnp.transpose(lut, (2, 0, 1))                 # [Q, 2m, 16]
     gath = jnp.take_along_axis(
-        lut_qmc[:, None, :, :],                             # [Q, 1, m, 256]
-        cand_codes.astype(jnp.int32)[:, :, :, None],        # [Q, C, m, 1]
+        lut_qmc[:, None, :, :],                             # [Q, 1, 2m, 16]
+        cand_nibs[:, :, :, None],                           # [Q, C, 2m, 1]
         axis=3,
-    )[..., 0]                                               # [Q, C, m]
+    )[..., 0]                                               # [Q, C, 2m]
     cand_scores = jnp.sum(gath, axis=2)
     limit = n if n_valid is None else jnp.minimum(n_valid, n)
     cand_scores = jnp.where(member < limit, cand_scores, -jnp.inf)
@@ -386,7 +413,7 @@ def pq_topk(
 
 def pq_search_rescored(
     queries: np.ndarray,
-    codes_t: jax.Array,
+    codes: jax.Array,
     cb: PQCodebook,
     embeddings: np.ndarray,
     k: int,
@@ -405,7 +432,7 @@ def pq_search_rescored(
     from legal_rag_tpu.ops.dense import exact_rescore
 
     _, cand = pq_topk(
-        jnp.asarray(cb.rotate(np.asarray(queries)), jnp.float32), codes_t,
+        jnp.asarray(cb.rotate(np.asarray(queries)), jnp.float32), codes,
         jnp.asarray(cb.codebooks), k * oversample, interpret=interpret,
     )
     fused, ids, _, _ = exact_rescore(

@@ -108,15 +108,16 @@ def _local_dense_topc(
 def _local_pq_topc(q, codes_local, codebooks, base, n_docs, c, interpret):
     """Local [Q, C] candidates from a PQ-coded shard (ops/pq.py).
 
-    ``codes_local [m, n_local]`` uint8 (transposed, column-sharded like
-    the dense matrix) is the only per-doc HBM read (m bytes/doc — the
-    capacity tier); scores are approximate under the PQ metric, so
-    callers oversample and fp32-rescore (engine.py), same contract as
-    the int8 mode. Ids return global via ``base``.
+    ``codes_local [n_local, m]`` uint8 packed nibbles (row-sharded) is
+    the only per-doc HBM read (m bytes/doc — the capacity tier); scores
+    are approximate under the PQ metric, so callers oversample and
+    fp32-rescore (engine.py), same contract as the int8 mode. Ids
+    return global via ``base``. ``q`` must already be OPQ-rotated when
+    the codebook carries a rotation (engine.py handles this).
     """
     from legal_rag_tpu.ops.pq import pq_topk
 
-    n_local = codes_local.shape[1]
+    n_local = codes_local.shape[0]
     n_valid = jnp.clip(n_docs - base, 0, n_local)
     c_req = min(c, n_local)
     s, i = pq_topk(
@@ -211,7 +212,7 @@ def _bm25_segment_stats(pids, pw, n_docs):
 )
 def sharded_hybrid_search(
     docs_t: jax.Array,        # [D, Npad] sharded over columns; or PQ
-                              # codes [m, Npad] uint8, also col-sharded
+                              # codes [Npad, m] uint8 sharded over rows
     post_ids: jax.Array,      # [Q, P] global doc ids (replicated)
     post_w: jax.Array,        # [Q, P]
     q_emb: jax.Array,         # [Q, D] (replicated)
@@ -248,18 +249,18 @@ def sharded_hybrid_search(
     row (the minor/fast ICI axis); no cross-row collectives exist. Q
     must divide the data-axis size.
 
-    PQ capacity mode: when ``docs_t`` is uint8 codes ``[m, Npad]``
-    (transposed, column-sharded like the dense matrix) and
-    ``pq_codebooks`` is given, the local dense stage scores via the PQ
-    one-hot-matmul kernel (ops/pq.py). Dense scores are then
-    approximate under the PQ metric — the engine oversamples and
-    fp32-rescores (same contract as int8 mode).
+    PQ capacity mode: when ``docs_t`` is uint8 packed codes
+    ``[Npad, m]`` (row-sharded) and ``pq_codebooks`` is given, the
+    local dense stage scores via the 4-bit PQ one-hot-matmul kernel
+    (ops/pq.py). Dense scores are then approximate under the PQ metric
+    — the engine oversamples and fp32-rescores (same contract as int8
+    mode) — and ``q_emb`` must arrive pre-rotated when OPQ is in play.
     """
     is_pq = docs_t.dtype == jnp.uint8
     if is_pq and pq_codebooks is None:
         raise ValueError("uint8 (PQ) doc codes require pq_codebooks")
     n_shards = mesh.shape[AXIS]
-    n_pad_docs = docs_t.shape[1]   # docs are columns in BOTH layouts
+    n_pad_docs = docs_t.shape[0] if is_pq else docs_t.shape[1]
     n_local = n_pad_docs // n_shards
     if data_axis is not None and q_emb.shape[0] % mesh.shape[data_axis]:
         raise ValueError(
@@ -401,7 +402,7 @@ def sharded_hybrid_search(
         return f, ids, sem, key
 
     dax = data_axis
-    spec_docs = P(None, AXIS)   # [D, Npad] or PQ [m, Npad]: same spec
+    spec_docs = P(AXIS, None) if is_pq else P(None, AXIS)
     spec_q2 = P(dax, None)   # [Q, ...] operands: data-sharded when 2-D
     spec_q1 = P(dax)
     return shard_map(
@@ -428,16 +429,16 @@ class ShardedIndex:
         to the int32 MXU accumulator; queries quantize per-row at
         search time. Recall≈exact for well-separated neighbours
         (tested); the memory mode for 10M+ docs/chip.
-      - ``pq`` — product quantization (ops/pq.py): m uint8 codes/doc
-        (default m=48 → 32x vs fp32, ~300M docs on a 16 GB chip);
-        scored on the MXU via per-subspace one-hot matmuls, candidates
-        fp32-rescored by the engine. ``docs_t`` then holds the codes
-        ``[m, Npad]`` transposed and column-sharded (the kernel's
-        relayout-free layout) and ``pq_codebooks`` the trained
-        ``[m, 256, dsub]`` centroids.
+      - ``pq`` — 4-bit product quantization (ops/pq.py): m packed
+        bytes/doc (default m=48 → 32x vs fp32, ~300M docs on a 16 GB
+        chip); scored on the MXU via per-nibble-subspace one-hot
+        matmuls, candidates fp32-rescored by the engine. ``docs_t``
+        then holds the codes ``[Npad, m]`` row-sharded,
+        ``pq_codebooks`` the trained ``[2m, 16, dsub]`` centroids, and
+        ``pq_rotation`` the optional OPQ rotation.
     """
 
-    docs_t: jax.Array      # [D, Npad] column-sharded; PQ: [m, Npad] u8
+    docs_t: jax.Array      # [D, Npad] column-sharded; PQ: [Npad, m] u8
     mesh: Mesh
     n_docs: int
     doc_scales: Optional[jax.Array] = None   # [Npad] f32, int8 mode only
@@ -461,12 +462,11 @@ class ShardedIndex:
         n, m = codes.shape
         n_shards = mesh.shape[AXIS]
         n_pad = -(-n // n_shards) * n_shards
-        # transpose to the kernel's [m, Npad] layout once at build/load
-        padded = np.zeros((m, n_pad), dtype=np.uint8)
-        padded[:, :n] = np.ascontiguousarray(codes.T)
+        padded = np.zeros((n_pad, m), dtype=np.uint8)
+        padded[:n] = codes
         return cls(
             docs_t=jax.device_put(
-                jnp.asarray(padded), NamedSharding(mesh, P(None, AXIS))
+                jnp.asarray(padded), NamedSharding(mesh, P(AXIS, None))
             ),
             mesh=mesh,
             n_docs=n,

@@ -118,3 +118,35 @@ def test_build_index_finetune_steps_changes_embeddings(tmp_path):
     s1 = build_index(chunks, config=CFG, store_dir=d1)
     s2 = build_index(chunks, config=CFG, store_dir=d2, finetune_steps=4)
     assert s1.corpus_hash != s2.corpus_hash
+
+
+def test_evaluate_store_pq_mode():
+    """Opt-in 'pq' mode: dense-only recall through the PQ capacity tier
+    (on-the-fly codebooks here). With n_docs << 256 centroids and the
+    full-corpus rescore window, PQ recall should track exact dense."""
+    import dataclasses
+
+    rng = np.random.default_rng(1)
+    words = [f"term{i}" for i in range(60)]
+    chunks = [
+        _chunk(f"H\n\n{' '.join(words[5 * s: 5 * s + 4])}",
+               section=str(s), title=f"Topic {s}")
+        for s in range(12)
+    ]
+    cfg = dataclasses.replace(
+        CFG, dense=dataclasses.replace(
+            CFG.dense, pq_m=8, int8_oversample=8,
+        )
+    )
+    store = build_index(chunks, config=cfg)
+    pairs = labeled_pairs_from_chunks(store.chunks)
+    report = evaluate_store(
+        store, pairs, ks=(1, 5), modes=("dense", "pq"), config=cfg,
+    )
+    modes = report["modes"]
+    assert set(modes) == {"dense", "pq"}
+    for m in modes.values():
+        for v in m.values():
+            assert 0.0 <= v <= 1.0
+    # rescored PQ over a tiny corpus covers the exact dense top set
+    assert modes["pq"]["recall@5"] >= modes["dense"]["recall@5"] - 0.1
