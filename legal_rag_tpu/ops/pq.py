@@ -389,19 +389,25 @@ def pq_topk(
     member_safe = jnp.clip(member, 0, np_ - 1)
 
     cand_codes = jnp.take(codes, member_safe, axis=0)       # [Q, C, m]
+    cw = member_safe.shape[1]
     # unpack nibbles: [Q, C, 2m]
     cand_nibs = jnp.stack(
         [cand_codes & 0xF, cand_codes >> 4], axis=-1
-    ).reshape(q, member_safe.shape[1], n_sub).astype(jnp.int32)
-    # LUT lookup per (query, candidate, subspace) — small, XLA gather:
-    # lut is [2m, 16, Q]; index with the candidate nibbles
-    lut_qmc = jnp.transpose(lut, (2, 0, 1))                 # [Q, 2m, 16]
-    gath = jnp.take_along_axis(
-        lut_qmc[:, None, :, :],                             # [Q, 1, 2m, 16]
-        cand_nibs[:, :, :, None],                           # [Q, C, 2m, 1]
-        axis=3,
-    )[..., 0]                                               # [Q, C, 2m]
-    cand_scores = jnp.sum(gath, axis=2)
+    ).reshape(q, cw, n_sub).astype(jnp.int32)
+    # Exact PQ rescore WITHOUT gathers (XLA TPU gathers cost ~50 ms at
+    # this candidate volume — measured): since
+    # sum_s lut[s, nib_s] == q · decode(nibs), decode the candidates
+    # via a one-hot batched matmul and dot with the (rotated) queries.
+    oh = jax.nn.one_hot(cand_nibs, 16, dtype=jnp.float32)   # [Q, C, 2m, 16]
+    decoded = jnp.einsum(
+        "qcsk,skd->qcsd", oh, codebooks.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    )                                                       # [Q, C, 2m, dsub]
+    q_sub = queries.astype(jnp.float32).reshape(q, n_sub, dsub)
+    cand_scores = jnp.einsum(
+        "qcsd,qsd->qc", decoded, q_sub,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     limit = n if n_valid is None else jnp.minimum(n_valid, n)
     cand_scores = jnp.where(member < limit, cand_scores, -jnp.inf)
 
