@@ -348,6 +348,13 @@ def pq_topk(
         precision=jax.lax.Precision.HIGHEST,
     )
 
+    # Mosaic constraint: the output block's lane dim (segments per
+    # block) must be 128-divisible unless the grid is a single block —
+    # align block_n so segs_per_block = block_n/seg_rows is a multiple
+    # of 128 whenever more than one block would be needed.
+    lane_quantum = seg_rows * 128
+    if n > block_n and block_n % lane_quantum:
+        block_n = -(-block_n // lane_quantum) * lane_quantum
     np_ = -(-n // block_n) * block_n
     if np_ != n:
         codes = jnp.pad(codes, ((0, np_ - n), (0, 0)))

@@ -25,7 +25,7 @@ pytestmark = pytest.mark.skipif(
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _run_on_tpu(code: str) -> dict:
+def _run_on_tpu(code: str, timeout: int = 560) -> dict:
     """Execute a snippet in a fresh process on the default (TPU)
     platform; the snippet must print one JSON line."""
     script = textwrap.dedent(code)
@@ -33,7 +33,7 @@ def _run_on_tpu(code: str) -> dict:
     env.pop("JAX_PLATFORMS", None)  # let the platform plugin win
     out = subprocess.run(
         [sys.executable, "-c", script],
-        capture_output=True, text=True, timeout=560, env=env,
+        capture_output=True, text=True, timeout=timeout, env=env,
         cwd=REPO,
     )
     assert out.returncode == 0, out.stderr[-2000:]
@@ -154,3 +154,50 @@ def test_int8_rescore_on_chip():
         print(json.dumps({"exact": bool((ids == gold).all())}))
     """)
     assert result["exact"]
+
+
+def test_pq_kernel_on_chip():
+    """4-bit PQ segment-max kernel: Mosaic lowering + numerical parity
+    with the nibble-LUT golden on real hardware (bf16 phase-1 scoring,
+    exact phase-2 ordering). Also pins the two compiler findings that
+    shaped the kernel: lane-major one-hots and summed K=16 dots (an
+    in-kernel lane concatenate or a sublane-major one-hot crashes the
+    TPU backend compiler — see ops/pq.py)."""
+    result = _run_on_tpu("""
+        import json, numpy as np, jax.numpy as jnp
+        from legal_rag_tpu.ops.pq import (
+            encode_pq, pq_topk, train_pq, unpack_codes,
+        )
+        rng = np.random.default_rng(11)
+        D, M, N = 64, 8, 6000
+        centers = rng.standard_normal((50, D)).astype(np.float32)
+        docs = centers[rng.integers(0, 50, N)] + 0.15 * rng.standard_normal((N, D))
+        docs = (docs / np.linalg.norm(docs, axis=1, keepdims=True)).astype(np.float32)
+        q = docs[rng.integers(0, N, 8)].copy()
+        cb = train_pq(docs, m=M, iters=10, seed=0)
+        codes = encode_pq(docs, cb)
+        s, ids = pq_topk(
+            jnp.asarray(q), jnp.asarray(codes), jnp.asarray(cb.codebooks),
+            k=10, block_n=512, seg_rows=8,
+        )
+        s, ids = np.asarray(s), np.asarray(ids)
+        nibs = unpack_codes(codes)
+        lut = np.einsum(
+            "qmd,mcd->qmc",
+            q.reshape(8, cb.n_subspaces, cb.dsub), cb.codebooks)
+        golden = np.zeros((8, N), np.float32)
+        for sub in range(cb.n_subspaces):
+            golden += lut[np.arange(8)[:, None], sub, nibs[None, :, sub]]
+        exact = 0
+        for qi in range(8):
+            order = np.lexsort((np.arange(N), -golden[qi]))[:10]
+            exact += int((ids[qi] == order).all())
+        print(json.dumps({"exact_rows": exact,
+                          "max_rel": float(np.max(np.abs(
+                              s - np.take_along_axis(golden, ids, 1))
+                              / (np.abs(s) + 1e-6)))}))
+    """, timeout=1200)  # kernel compiles are minutes through a cold/degraded relay
+    # phase-2 rescores candidates in fp32, so ordering should match the
+    # golden on nearly every row (bf16 phase-1 only picks segments)
+    assert result["exact_rows"] >= 7, result
+    assert result["max_rel"] < 1e-3, result
