@@ -141,6 +141,23 @@ def evaluate_store(
     queries = [q for q, _ in pairs]
     relevants = [rel for _, rel in pairs]
     kmax = min(max(ks), store.n_docs)
+    # chunk to a serving-sized bucket: one moderate executable reused
+    # across chunks instead of one giant Q=next_pow2(len(pairs)) program
+    chunk = 256
+
+    def batched_search(**kw):
+        rows = []
+        for lo in range(0, len(queries), chunk):
+            sub = queries[lo:lo + chunk]
+            w = kw.get("hybrid_weights")
+            rows.extend(
+                kw["engine"].search_batch(
+                    sub, k=kmax,
+                    hybrid_weights=None if w is None else w[:len(sub)],
+                    mode=kw["mode"],
+                )
+            )
+        return rows
 
     def ids_from_results(results):
         out = np.full((len(queries), kmax), -1, dtype=np.int64)
@@ -152,18 +169,16 @@ def evaluate_store(
     report: Dict = {"n_queries": len(queries), "modes": {}}
     for mode in modes:
         if mode == "dense":
-            ranked = ids_from_results(
-                engine.search_batch(
-                    queries, k=kmax,
-                    hybrid_weights=[0.0] * len(queries), mode="weighted",
-                )
-            )
+            ranked = ids_from_results(batched_search(
+                engine=engine, mode="weighted",
+                hybrid_weights=[0.0] * chunk,
+            ))
         elif mode == "bm25":
             ranked = _bm25_ranked_ids(store, queries, kmax)
         elif mode in ("weighted", "rrf"):
-            ranked = ids_from_results(
-                engine.search_batch(queries, k=kmax, mode=mode)
-            )
+            ranked = ids_from_results(batched_search(
+                engine=engine, mode=mode, hybrid_weights=None,
+            ))
         elif mode == "pq":
             import dataclasses
 
@@ -173,12 +188,10 @@ def evaluate_store(
             eng_pq = RetrievalEngine(
                 store, config=cfg_pq, encoder=engine.encoder
             )
-            ranked = ids_from_results(
-                eng_pq.search_batch(
-                    queries, k=kmax,
-                    hybrid_weights=[0.0] * len(queries), mode="weighted",
-                )
-            )
+            ranked = ids_from_results(batched_search(
+                engine=eng_pq, mode="weighted",
+                hybrid_weights=[0.0] * chunk,
+            ))
         else:
             raise ValueError(f"unknown mode {mode!r}")
         entry = {f"recall@{k}": recall_at_k(ranked, relevants, k) for k in ks}
