@@ -87,7 +87,21 @@ def _cmd_serve(args) -> int:
         level=logging.INFO,
         format="%(asctime)s - %(name)s - %(levelname)s - %(message)s",
     )
-    asyncio.run(run_server(store_dir=args.store, port=args.port))
+    config = None
+    if args.dense_dtype:
+        import dataclasses
+
+        from legal_rag_tpu.config import DEFAULT_CONFIG
+
+        config = dataclasses.replace(
+            DEFAULT_CONFIG,
+            dense=dataclasses.replace(
+                DEFAULT_CONFIG.dense, dtype=args.dense_dtype
+            ),
+        )
+    asyncio.run(
+        run_server(store_dir=args.store, port=args.port, config=config)
+    )
     return 0
 
 
@@ -247,6 +261,14 @@ def main(argv=None) -> int:
     p = sub.add_parser("serve", help="run the HTTP server")
     p.add_argument("--store", required=True)
     p.add_argument("--port", type=int, default=8000)
+    p.add_argument(
+        "--dense-dtype", default=None,
+        choices=["float32", "bfloat16", "int8", "pq"],
+        help="dense storage tier for serving: exact fp32 (default), "
+             "bf16 (2x less HBM), int8 (4x, exact via rescore), or pq "
+             "(32x, build the store with --pq-m first). Env equivalent: "
+             "LEGAL_RAG_DENSE_DTYPE",
+    )
     p.set_defaults(fn=_cmd_serve)
 
     p = sub.add_parser("eval", help="run the quality gate")

@@ -40,9 +40,14 @@ _MAX_BODY_BYTES = 1 << 20
 class EngineHost:
     """Background-loading engine holder (reference app.py:47-70)."""
 
-    def __init__(self, store_dir: Optional[str] = None, engine=None):
+    def __init__(
+        self, store_dir: Optional[str] = None, engine=None, config=None,
+    ):
         self.store_dir = store_dir
         self.engine = engine
+        self.config = config          # RetrievalConfig override (e.g.
+                                      # the dense storage tier); None =
+                                      # framework defaults
         self.loading = engine is None
         self.error: Optional[str] = None
         self.coalescer = None
@@ -61,7 +66,12 @@ class EngineHost:
             from legal_rag_tpu.retrieval.facade import LegalEngine
             from legal_rag_tpu.server.source_fetcher import set_default_catalog
 
-            engine = LegalEngine(store_dir=self.store_dir)
+            if self.config is not None:
+                engine = LegalEngine(
+                    store_dir=self.store_dir, config=self.config
+                )
+            else:
+                engine = LegalEngine(store_dir=self.store_dir)
             set_default_catalog(engine.engine.store.chunks)
             # Warmup: drive one representative query through the full
             # pipeline while /health still reports "loading" — jit
@@ -448,8 +458,11 @@ async def run_server(
     port: int = 8000,
     engine=None,
     ready_event: Optional[asyncio.Event] = None,
+    config=None,
 ) -> None:
-    engine_host = EngineHost(store_dir=store_dir, engine=engine)
+    engine_host = EngineHost(
+        store_dir=store_dir, engine=engine, config=config
+    )
     engine_host.start_loading()
     app = HttpApp(engine_host)
     server = await asyncio.start_server(
@@ -469,7 +482,18 @@ def main() -> None:
     )
     port = int(os.getenv("PORT", "8000"))
     store_dir = os.getenv("LEGAL_RAG_STORE", "data/vector_store")
-    asyncio.run(run_server(store_dir=store_dir, port=port))
+    config = None
+    dtype = os.getenv("LEGAL_RAG_DENSE_DTYPE")
+    if dtype:
+        import dataclasses
+
+        from legal_rag_tpu.config import DEFAULT_CONFIG
+
+        config = dataclasses.replace(
+            DEFAULT_CONFIG,
+            dense=dataclasses.replace(DEFAULT_CONFIG.dense, dtype=dtype),
+        )
+    asyncio.run(run_server(store_dir=store_dir, port=port, config=config))
 
 
 if __name__ == "__main__":

@@ -421,3 +421,46 @@ def test_coalescer_results_match_uncoalesced(legal_engine_module):
         assert [r.score for r in d[0]] == pytest.approx(
             [r.score for r in m[0]]
         )
+
+
+def test_engine_host_config_plumb(monkeypatch):
+    """serve --dense-dtype / LEGAL_RAG_DENSE_DTYPE: the config override
+    must reach LegalEngine so the chosen storage tier (e.g. pq) is what
+    actually serves."""
+    import dataclasses
+
+    from legal_rag_tpu.config import DEFAULT_CONFIG
+    from legal_rag_tpu.retrieval import facade as facade_mod
+
+    captured = {}
+
+    class FakeInner:
+        class store:
+            chunks = []
+
+        def enable_request_coalescing(self):
+            return object()
+
+    class FakeEngine:
+        def __init__(self, store_dir=None, config=None, **kw):
+            captured["config"] = config
+            self.engine = FakeInner()
+
+        def query(self, *a, **kw):
+            return {}
+
+    monkeypatch.setattr(facade_mod, "LegalEngine", FakeEngine)
+    cfg = dataclasses.replace(
+        DEFAULT_CONFIG,
+        dense=dataclasses.replace(DEFAULT_CONFIG.dense, dtype="pq"),
+    )
+    host = EngineHost(store_dir="/tmp/whatever", config=cfg)
+    host._load()
+    assert host.status == "ready"
+    assert captured["config"].dense.dtype == "pq"
+
+    # default path: no override object constructed
+    captured.clear()
+    host2 = EngineHost(store_dir="/tmp/whatever")
+    host2._load()
+    assert "config" not in captured or captured["config"] is None
