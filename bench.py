@@ -456,6 +456,11 @@ def run():
     """Deadline-guarded driver entry: the JSON line MUST appear even if
     a late measurement stalls on a wedged device relay."""
     metrics = {}
+    # persistent XLA compile cache: repeated bench runs (driver rounds)
+    # skip recompiles of every search/encode bucket
+    from legal_rag_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache(os.path.join(REPO, ".bench_cache", "jax"))
     _install_deadline(int(os.environ.get("BENCH_DEADLINE_S", "480")))
     try:
         metrics = main() or metrics

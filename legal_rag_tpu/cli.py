@@ -220,6 +220,12 @@ def _cmd_eval_retrieval(args) -> int:
 
 
 def main(argv=None) -> int:
+    # warm-restart amortization: honor LEGAL_RAG_COMPILE_CACHE_DIR for
+    # every subcommand (must run before the first jit compile)
+    from legal_rag_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+
     parser = argparse.ArgumentParser(prog="legal_rag_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
 

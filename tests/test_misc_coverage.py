@@ -120,3 +120,23 @@ def test_search_result_reference_dict_shape():
                      semantic=0.5, keyword=0.5, doc_id=3)
     d = r.to_dict()
     assert set(d) == {"chunk", "score", "semantic", "keyword"}
+
+
+def test_enable_compile_cache(tmp_path, monkeypatch):
+    """The persistent-cache helper: env-driven opt-in, populates the
+    directory after a jit compile (CPU backend caches too)."""
+    import jax
+    import jax.numpy as jnp
+
+    from legal_rag_tpu.utils.cache import enable_compile_cache
+
+    monkeypatch.delenv("LEGAL_RAG_COMPILE_CACHE_DIR", raising=False)
+    assert enable_compile_cache() is None   # no-op without opt-in
+
+    d = tmp_path / "jaxcache"
+    assert enable_compile_cache(str(d)) == str(d)
+    f = jax.jit(lambda x: (x * 2.5).sum() + 7.0)
+    assert float(f(jnp.arange(8.0))) == 77.0
+    # restore defaults so later tests aren't affected
+    jax.config.update("jax_compilation_cache_dir", None)
+    assert d.exists()
