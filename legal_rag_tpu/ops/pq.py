@@ -348,11 +348,19 @@ def pq_topk(
         precision=jax.lax.Precision.HIGHEST,
     )
 
+    # VMEM envelope: the unrolled per-block working set scales with
+    # block_n * Q (measured: 22.8 MB at block_n=8192, Q=64 — past the
+    # 16 MB scoped budget; 4096 x 64 fits comfortably). Clamp so the
+    # product stays within the measured-safe envelope; small query
+    # batches may therefore use proportionally larger doc blocks.
+    lane_quantum = seg_rows * 128
+    safe = (4096 * 64) // max(q, 1)
+    if block_n > safe:
+        block_n = max(lane_quantum, (safe // lane_quantum) * lane_quantum)
     # Mosaic constraint: the output block's lane dim (segments per
     # block) must be 128-divisible unless the grid is a single block —
     # align block_n so segs_per_block = block_n/seg_rows is a multiple
     # of 128 whenever more than one block would be needed.
-    lane_quantum = seg_rows * 128
     if n > block_n and block_n % lane_quantum:
         block_n = -(-block_n // lane_quantum) * lane_quantum
     np_ = -(-n // block_n) * block_n
