@@ -145,22 +145,6 @@ def build_index(
             )
 
     embeddings = encoder.encode(texts, batch_size=config.encoder.encode_batch)
-    ce_params = None
-    if rerank_steps > 0:
-        from legal_rag_tpu.models.cross_encoder import (
-            CrossEncoder, train_cross_encoder,
-        )
-
-        ce = CrossEncoder(encoder)
-        losses = train_cross_encoder(
-            ce, texts, steps=rerank_steps, log_fn=log_fn,
-        )
-        ce_params = ce.params
-        if log_fn:
-            log_fn(
-                f"trained cross-encoder reranker {rerank_steps} steps "
-                f"(loss {losses[0]:.3f} -> {losses[-1]:.3f})"
-            )
     pq_codes = pq_codebooks = pq_rotation = None
     if pq_m > 0:
         from legal_rag_tpu.ops.pq import encode_pq, train_pq
@@ -203,8 +187,69 @@ def build_index(
         pq_codes=pq_codes,
         pq_codebooks=pq_codebooks,
         pq_rotation=pq_rotation,
-        ce_params=ce_params,
     )
+    if rerank_steps > 0:
+        _train_validated_reranker(
+            store, encoder, texts, rerank_steps, config, log_fn
+        )
     if store_dir is not None:
         store.save(store_dir)
     return store
+
+
+def _train_validated_reranker(
+    store, encoder, texts, rerank_steps, config, log_fn,
+) -> None:
+    """Train the cross-encoder and persist it ONLY if it measurably
+    helps on this corpus.
+
+    Serving auto-enables the precision stage whenever the store carries
+    a checkpoint, so an undertrained cross-encoder must never ship:
+    measured on the real corpus, a 300-step CE trained from the
+    (even fine-tuned) trunk DESTROYED ranking (RRF recall@1 0.86 ->
+    0.09) — joint-attention rerankers need far more training signal
+    than the bi-encoder's contrastive warm-up provides. The gate
+    reranks the corpus-structure eval queries and keeps the checkpoint
+    only when reranked MRR >= base MRR.
+    """
+    from legal_rag_tpu.evaluation import (
+        evaluate_rerank, labeled_pairs_from_chunks,
+    )
+    from legal_rag_tpu.models.cross_encoder import (
+        CrossEncoder, train_cross_encoder,
+    )
+    from legal_rag_tpu.retrieval.engine import RetrievalEngine
+
+    ce = CrossEncoder(encoder)
+    losses = train_cross_encoder(
+        ce, texts, steps=rerank_steps, log_fn=log_fn,
+    )
+    if log_fn:
+        log_fn(
+            f"trained cross-encoder reranker {rerank_steps} steps "
+            f"(loss {losses[0]:.3f} -> {losses[-1]:.3f})"
+        )
+    pairs = labeled_pairs_from_chunks(store.chunks, max_pairs=96)
+    if not pairs:
+        # nothing to validate against (unstructured corpus): persist,
+        # flagged in the log — the caller opted in explicitly
+        if log_fn:
+            log_fn("reranker persisted UNVALIDATED (no labeled pairs)")
+        store.ce_params = ce.params
+        return
+    engine = RetrievalEngine(store, config=config, encoder=encoder)
+    report = evaluate_rerank(
+        store, pairs, ce, config=config, engine=engine,
+    )
+    base = report["modes"]["base"]["mrr"]
+    rer = report["modes"]["reranked"]["mrr"]
+    if rer >= base:
+        store.ce_params = ce.params
+        if log_fn:
+            log_fn(f"reranker validated (mrr {base:.3f} -> {rer:.3f})")
+    elif log_fn:
+        log_fn(
+            f"reranker REJECTED: reranked mrr {rer:.3f} < base "
+            f"{base:.3f} on {len(pairs)} eval queries — checkpoint not "
+            f"persisted (train longer or from a stronger trunk)"
+        )

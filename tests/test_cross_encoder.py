@@ -107,18 +107,30 @@ def test_evaluate_rerank_report(corpus):
         assert 0.0 <= m["mrr"] <= 1.0
 
 
-def test_ce_checkpoint_roundtrip_and_facade_autoenable(corpus, tmp_path):
+def test_ce_checkpoint_roundtrip_and_facade_autoenable(
+    corpus, tmp_path, monkeypatch,
+):
     """build(rerank_steps=N) persists the trained cross-encoder in the
-    store (cross_encoder.npz, sha256'd); LegalEngine auto-enables the
-    precision stage for such stores and its reranked results carry
-    retrieval_score/rerank_score provenance."""
+    store (cross_encoder.npz, sha256'd) WHEN it passes the validation
+    gate; LegalEngine auto-enables the precision stage for such stores
+    and its reranked results carry retrieval_score/rerank_score
+    provenance. (The gate itself is deterministic-stubbed here; its
+    reject path has its own test.)"""
+    from legal_rag_tpu import evaluation as eval_mod
     from legal_rag_tpu.index.builder import build_index
     from legal_rag_tpu.index.store import VectorStore
     from legal_rag_tpu.retrieval.facade import LegalEngine
 
+    monkeypatch.setattr(
+        eval_mod, "evaluate_rerank",
+        lambda *a, **kw: {"modes": {"base": {"mrr": 0.5},
+                                    "reranked": {"mrr": 0.6}}},
+    )
+
     chunks = [
         {"text": t, "canonical_header": f"H{i}",
          "metadata": {"law": "BNS", "section": str(i),
+                      "section_title": f"Topic number {i}",
                       "unit_type": "section"},
          "section_id": f"BNS_{i}"}
         for i, t in enumerate(corpus)
@@ -187,3 +199,46 @@ def test_rerank_stage_orders_by_ce_score(corpus):
     scores = [r["score"] for r in reranked]
     assert scores == sorted(scores, reverse=True)
     assert max(scores) == 1.0 and min(scores) == 0.0
+
+
+def test_ce_validation_gate_rejects_harmful_reranker(
+    corpus, tmp_path, monkeypatch,
+):
+    """Measured on the real corpus: an undertrained cross-encoder can
+    DESTROY ranking (RRF recall@1 0.86 -> 0.09). Since serving
+    auto-enables the stage whenever a checkpoint exists, the build gate
+    must refuse to persist a reranker that scores worse than the base
+    retrieval on the corpus-structure eval queries."""
+    from legal_rag_tpu import evaluation as eval_mod
+    from legal_rag_tpu.index.builder import build_index
+    from legal_rag_tpu.retrieval.facade import LegalEngine
+
+    monkeypatch.setattr(
+        eval_mod, "evaluate_rerank",
+        lambda *a, **kw: {"modes": {"base": {"mrr": 0.9},
+                                    "reranked": {"mrr": 0.2}}},
+    )
+    chunks = [
+        {"text": t, "canonical_header": f"H{i}",
+         "metadata": {"law": "BNS", "section": str(i),
+                      "section_title": f"Topic number {i}",
+                      "unit_type": "section"},
+         "section_id": f"BNS_{i}"}
+        for i, t in enumerate(corpus)
+    ]
+    rcfg = RetrievalConfig(encoder=CFG)
+    logs = []
+    store = build_index(
+        chunks, config=rcfg, store_dir=tmp_path, rerank_steps=4,
+        log_fn=logs.append,
+    )
+    assert store.ce_params is None
+    assert "cross_encoder.npz" not in store.manifest["artifacts"]
+    assert any("REJECTED" in m for m in logs)
+
+    # serving therefore does NOT auto-enable, and forcing it on is a
+    # loud error rather than silent quality loss
+    eng = LegalEngine(store=store, config=rcfg, use_llm=False)
+    assert eng.orchestrator.reranker is None
+    with pytest.raises(ValueError):
+        LegalEngine(store=store, config=rcfg, use_llm=False, rerank=True)
