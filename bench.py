@@ -217,50 +217,6 @@ def main():
         jax.block_until_ready(out)
         jax.block_until_ready(single(use_pallas))
 
-    # The shared TPU relay has a bimodal per-dispatch latency (healthy
-    # ~0.03 ms, degraded ~8-30 ms — infra, not compute). Measure the
-    # dispatch floor with a trivial op; if degraded, wait and retry,
-    # keeping the best attempt. We are benchmarking the chip, not the
-    # tunnel's bad moods.
-    trivial = jax.jit(lambda a: a * 2 + 1)
-    probe = jnp.ones((8, 128))
-
-    def dispatch_floor():
-        jax.block_until_ready(trivial(probe))
-        t0 = time.perf_counter()
-        for _ in range(10):
-            jax.block_until_ready(trivial(probe))
-        return (time.perf_counter() - t0) / 10
-
-    best_sync = best_pipe = float("inf")
-    for attempt in range(2):
-        floor = dispatch_floor()
-        log(f"attempt {attempt}: dispatch floor {floor*1e3:.2f} ms")
-
-        t0 = time.perf_counter()
-        for _ in range(REPEATS):
-            out = device_run(use_pallas)
-            jax.block_until_ready(out)
-        best_sync = min(best_sync, (time.perf_counter() - t0) / REPEATS)
-
-        # pipelined throughput (queue depth > 1): dispatch all batches,
-        # then host-fetch the LAST result — TPU programs execute
-        # in-order, so this is a true sync even on the relay tunnel
-        # where bare block_until_ready can return early (BASELINE.md
-        # measurement notes)
-        pipe_n = REPEATS * 5
-        t0 = time.perf_counter()
-        outs = [device_run(use_pallas) for _ in range(pipe_n)]
-        np.asarray(outs[-1][0])
-        best_pipe = min(best_pipe, (time.perf_counter() - t0) / pipe_n)
-
-        if floor < 1e-3 and best_pipe < 1e-3:
-            break  # healthy measurement banked
-        if attempt == 0:
-            time.sleep(30)  # let the relay recover before retrying
-
-    sync_dt, pipe_dt = best_sync, best_pipe
-
     # Sustained device throughput via the in-program loop (the slope
     # method, scripts/bench_scale.py): run the search r times inside
     # ONE jitted fori_loop — the relay round trip (healthy ~0.03 ms,
@@ -304,6 +260,57 @@ def main():
     except Exception as e:  # noqa: BLE001
         log(f"slope measurement failed ({type(e).__name__}: {e}); "
             f"falling back to direct pipelined timing")
+    if slope_dt != float("inf"):
+        # bank the headline metric IMMEDIATELY: everything after this
+        # point is diagnostics, and a wedged relay mid-diagnostic must
+        # not cost the number of record (the deadline guard emits
+        # whatever is banked)
+        metrics["dev_qps"] = Q_BATCH / slope_dt
+        log(f"banked dev_qps={metrics['dev_qps']:.0f} (slope method)")
+
+    # The shared TPU relay has a bimodal per-dispatch latency (healthy
+    # ~0.03 ms, degraded ~8-30 ms — infra, not compute). Measure the
+    # dispatch floor with a trivial op; if degraded, wait and retry,
+    # keeping the best attempt. We are benchmarking the chip, not the
+    # tunnel's bad moods.
+    trivial = jax.jit(lambda a: a * 2 + 1)
+    probe = jnp.ones((8, 128))
+
+    def dispatch_floor():
+        jax.block_until_ready(trivial(probe))
+        t0 = time.perf_counter()
+        for _ in range(10):
+            jax.block_until_ready(trivial(probe))
+        return (time.perf_counter() - t0) / 10
+
+    best_sync = best_pipe = float("inf")
+    for attempt in range(2):
+        floor = dispatch_floor()
+        log(f"attempt {attempt}: dispatch floor {floor*1e3:.2f} ms")
+
+        t0 = time.perf_counter()
+        for _ in range(REPEATS):
+            out = device_run(use_pallas)
+            jax.block_until_ready(out)
+        best_sync = min(best_sync, (time.perf_counter() - t0) / REPEATS)
+
+        # pipelined throughput (queue depth > 1): dispatch all batches,
+        # then host-fetch the LAST result — TPU programs execute
+        # in-order, so this is a true sync even on the relay tunnel
+        # where bare block_until_ready can return early (BASELINE.md
+        # measurement notes)
+        pipe_n = REPEATS * 5
+        t0 = time.perf_counter()
+        outs = [device_run(use_pallas) for _ in range(pipe_n)]
+        np.asarray(outs[-1][0])
+        best_pipe = min(best_pipe, (time.perf_counter() - t0) / pipe_n)
+
+        if floor < 1e-3 and best_pipe < 1e-3:
+            break  # healthy measurement banked
+        if attempt == 0:
+            time.sleep(30)  # let the relay recover before retrying
+
+    sync_dt, pipe_dt = best_sync, best_pipe
 
     # number of record: the slope (pure device time) when it measured;
     # the direct wall numbers are diagnostics/cross-checks
