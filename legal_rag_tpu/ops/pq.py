@@ -250,44 +250,56 @@ def decode_pq(codes: np.ndarray, cb: PQCodebook) -> np.ndarray:
 
 
 def _pq_segmax_kernel(
-    codes_ref, lut_ref, m_ref, *, seg_rows, block_n, n_real, m,
+    codes_ref, lut_ref, spread_ref, m_ref, *, seg_rows, block_n,
+    n_real, m,
 ):
     """Per (doc-block) grid step: PQ scores for the whole query batch
     against ``block_n`` docs, reduced to per-segment maxima.
 
-    codes_ref: ``[BN, m]`` uint8 packed nibbles — the ONLY per-doc HBM
+    codes_ref:  ``[BN, m]`` uint8 packed nibbles — the ONLY per-doc HBM
       read, m bytes/doc.
-    lut_ref:   ``[2m, 16, Q]`` bf16 — per-nibble-subspace lookup
-      tables, each a ``[16, Q]`` MXU RHS. bf16 is what the MXU
-      consumes; phase 2 rescores candidates against the fp32 LUT, so
-      returned scores stay exact under the PQ metric.
-    m_ref:     ``[Q, BN/seg_rows]`` f32 segment maxima.
+    lut_ref:    ``[m/4, 128, Q]`` bf16 — the per-nibble-subspace LUTs
+      stacked 8 per group, so the scoring contraction is a
+      full-occupancy ``K=128`` MXU dot (the naive per-subspace ``K=16``
+      dots waste 7/8 of the MXU's contraction lanes and measured 4.5x
+      slower). bf16 is what the MXU consumes; phase 2 rescores
+      candidates against the fp32 LUT, so returned scores stay exact
+      under the PQ metric.
+    spread_ref: ``[4, 128]`` f32 constant 0/1 — byte ``b`` maps to its
+      32-lane band. The group's 4 packed bytes broadcast into their
+      bands via ONE tiny MXU matmul (values <= 255 are exact), and a
+      single elementwise nibble-select + compare then builds the whole
+      ``[BN, 128]`` one-hot.
+    m_ref:      ``[Q, BN/seg_rows]`` f32 segment maxima.
 
-    Per byte: ONE lane extract (cheap: lane select + free lane
-    broadcast), two 16-wide nibble compares on the VPU, two ``K=16``
-    MXU dots. The 16-wide one-hot is the point — an 8-bit layout needs
-    a 256-wide one-hot whose construction is 16x the VPU work and was
-    measured 6x slower end-to-end. NB an in-kernel lane
-    ``jnp.concatenate`` (to batch the small dots into one K=128 dot)
-    crashes the TPU backend compiler; the summed small dots compute
-    the identical block-diagonal contraction.
+    Why this exact construction (all found by bisection on hardware —
+    the failures crash the TPU backend compiler outright, see
+    tests/test_tpu_hardware.py): an in-kernel lane ``concatenate`` of
+    per-subspace one-hots crashes; so does ANY VPU combination (or/
+    max/add/repeat) of several lane-extracted columns into one array;
+    sublane-major one-hots crash too. Routing the multi-column
+    combination through the MXU spread matmul sidesteps all of it and
+    is faster anyway.
     """
     j = pl.program_id(0)
     cc = codes_ref[:].astype(jnp.int32) & 0xFF
     bn = cc.shape[0]
     qn = lut_ref.shape[2]
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (bn, 16), 1)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (bn, 128), 1)
+    hi_band = ((lanes >> 4) & 1) == 1   # odd 16-lane window = hi nibble
+    target = lanes & 0xF
+    spread = spread_ref[:]
     acc = jnp.zeros((bn, qn), dtype=jnp.float32)
-    for b in range(m):
-        col = cc[:, b][:, None]
-        lo = ((col & 0xF) == lanes).astype(jnp.bfloat16)
-        hi = (((col >> 4) & 0xF) == lanes).astype(jnp.bfloat16)
-        acc = acc + jax.lax.dot_general(
-            lo, lut_ref[2 * b], (((1,), (0,)), ((), ())),
+    for g in range(m // 4):
+        grp = cc[:, g * 4:(g + 1) * 4].astype(jnp.float32)    # [BN, 4]
+        rep = jax.lax.dot_general(
+            grp, spread, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
+        ).astype(jnp.int32)                                   # [BN, 128]
+        nib = jnp.where(hi_band, rep >> 4, rep) & 0xF
+        onehot = (nib == target).astype(jnp.bfloat16)
         acc = acc + jax.lax.dot_general(
-            hi, lut_ref[2 * b + 1], (((1,), (0,)), ((), ())),
+            onehot, lut_ref[g], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
@@ -337,6 +349,11 @@ def pq_topk(
     """
     q, d = queries.shape
     n, m = codes.shape
+    if m % 4:
+        raise ValueError(
+            f"packed bytes/doc m={m} must divide by 4 (the kernel "
+            "stacks 8 nibble subspaces per K=128 MXU dot)"
+        )
     n_sub = 2 * m
     dsub = d // n_sub
 
@@ -369,6 +386,12 @@ def pq_topk(
     nb = np_ // block_n
     segs_per_block = block_n // seg_rows
 
+    # byte b of each 4-byte group -> its 32-lane band (kernel docstring)
+    spread = (
+        (jax.lax.broadcasted_iota(jnp.int32, (4, 128), 1) >> 5)
+        == jax.lax.broadcasted_iota(jnp.int32, (4, 128), 0)
+    ).astype(jnp.float32)
+
     kernel = functools.partial(
         _pq_segmax_kernel, seg_rows=seg_rows, block_n=block_n,
         n_real=n, m=m,
@@ -378,12 +401,13 @@ def pq_topk(
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((block_n, m), lambda j: (j, 0)),
-            pl.BlockSpec((n_sub, 16, q), lambda j: (0, 0, 0)),
+            pl.BlockSpec((m // 4, 128, q), lambda j: (0, 0, 0)),
+            pl.BlockSpec((4, 128), lambda j: (0, 0)),
         ],
         out_specs=pl.BlockSpec((q, segs_per_block), lambda j: (0, j)),
         out_shape=jax.ShapeDtypeStruct((q, nb * segs_per_block), jnp.float32),
         interpret=interpret,
-    )(codes, lut.astype(jnp.bfloat16))
+    )(codes, lut.astype(jnp.bfloat16).reshape(m // 4, 128, q), spread)
 
     if n_valid is not None:
         # traced validity: whole segments past n_valid can never hold a
