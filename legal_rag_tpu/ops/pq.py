@@ -18,15 +18,20 @@ inner product against a coded doc is ``sum_s LUT[s, code[n, s]]``, a
 table lookup, executed on the MXU as a one-hot matmul per subspace.
 Building a one-hot costs VPU work proportional to its WIDTH: 8-bit
 codes need ``[block, 256]`` one-hots (measured 137 ms / 1M docs /
-64-query batch — the VPU wall), while 4-bit needs ``[block, 16]`` —
-16x less comparison work for the same bytes/doc (measured 24 ms / 1M,
-kernel-bound; the codes themselves are only 48 MB). This mirrors the
-SIMD-register justification for 4-bit PQ on CPUs (pshufb's 16-lane
-shuffle); on TPU the "register width" is the one-hot the VPU must
-materialize. Mosaic note: the 16-wide one-hots feed per-subspace
-``K=16`` dots — summing them equals the block-diagonal ``K=128`` dot,
-and an in-kernel lane ``concatenate`` (the obvious way to build the
-wide one-hot) crashes the TPU backend compiler, so small dots it is.
+64-query batch — the VPU wall), while 4-bit needs 16-wide ones. This
+mirrors the SIMD-register justification for 4-bit PQ on CPUs (pshufb's
+16-lane shuffle); on TPU the "register width" is the one-hot the VPU
+must materialize. The shipped kernel then recovers full MXU occupancy
+by stacking 8 nibble subspaces per contraction: a constant spread
+MATMUL broadcasts each group's packed bytes into 32-lane bands and one
+elementwise nibble-select + compare builds the ``[block, 128]``
+one-hot for a K=128 LUT dot — 5.3 ms / 1M docs / 64-query batch for
+the sweep, 8.2 ms for the full ``pq_topk`` path, vs 3.87 ms for the
+bf16 flat sweep that reads 16x more HBM. (The spread matmul is also
+the ONLY multi-column combination the Mosaic backend accepts:
+in-kernel lane ``concatenate`` and every VPU merge of several
+lane-extracted columns — or/max/add/repeat — crash the backend
+compiler; isolated by bisection, pinned by the hardware test suite.)
 
 Selection reuses the two-phase shape (ops/dense.py): the kernel emits
 per-*segment* maxima (segment = ``seg_rows`` docs, lane-aligned), a
