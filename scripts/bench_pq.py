@@ -75,7 +75,7 @@ def main():
         .astype(np.float32)
     )
     q = jnp.asarray(rng.standard_normal((Q, D)).astype(np.float32))
-    for bn, sr in ((4096, 8), (8192, 8), (8192, 16)):
+    for bn, sr in ((4096, 8), (4096, 16)):
         body = lambda qq, bn=bn, sr=sr: pq_topk(
             qq, codes, cb_arr, K, block_n=bn, seg_rows=sr
         )
