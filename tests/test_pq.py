@@ -350,3 +350,23 @@ def test_pq_rescored_recall_vs_exact(clustered):
         )
         assert (np.diff(scores[qi]) <= 1e-7).all()
     assert hit / q.shape[0] >= 0.9
+
+
+def test_engine_pq_rrf_mode(pq_store):
+    """PQ index + RRF fusion: rank-based fusion over the approximate
+    PQ dense list and the exact sparse list must serve without rescore
+    (RRF is rank-based) and return only valid docs."""
+    from legal_rag_tpu.index.store import VectorStore
+    from legal_rag_tpu.retrieval.engine import RetrievalEngine
+
+    store, d = pq_store
+    loaded = VectorStore.load(d)
+    eng = RetrievalEngine(loaded, config=_tiny_cfg("pq"))
+    out = eng.search_batch(
+        ["the police fir", "w1 w2 w3"], k=5, mode="rrf"
+    )
+    assert all(len(row) > 0 for row in out)
+    for row in out:
+        for r in row:
+            assert 0 <= r.doc_id < loaded.n_docs
+            assert np.isfinite(r.score)
