@@ -16,10 +16,29 @@ Measured op: the full hybrid search core for a Q-query batch — dense
 top-2k + full-corpus BM25 + weighted fusion + top-k — queries already
 embedded (both sides), postings already gathered (both sides). Encode
 throughput is reported separately to stderr.
+
+Measurement discipline (learned the hard way across rounds 1-2):
+the shared TPU relay has a bimodal per-dispatch latency (healthy
+~0.03 ms, degraded 8-40 ms after any big compile) and its
+block_until_ready can return early for pure-XLA programs, so naive
+wall timing lies in both directions. The number of record is pure
+device time by the SLOPE METHOD: run the search r times inside ONE
+jitted fori_loop, host-fetch to sync, and take
+(t(r2) - t(r1)) / (r2 - r1) — constant relay overhead cancels exactly.
+Round-2 postmortem (VERDICT.md): the global alarm fired inside the
+slope's compile and a broad `except Exception` swallowed the one-shot
+BenchDeadline, un-deadlining the run and letting degraded-relay wall
+timing become the headline (0.59x). Hence the structure below:
+BenchDeadline is a BaseException no broad except can eat, every phase
+re-arms its own sub-deadline, slope programs compile during setup
+(and persist in the on-disk XLA compile cache), and the batch slope is
+retried late in the run if it failed early — a successful slope
+anywhere in the run is always the headline.
 """
 
 import json
 import os
+import signal
 import sys
 import time
 
@@ -35,6 +54,36 @@ REPEATS = 30
 
 def log(*args):
     print(*args, file=sys.stderr, flush=True)
+
+
+class BenchDeadline(BaseException):
+    """Phase deadline. BaseException so `except Exception` guards inside
+    measurement code cannot swallow it (round-2 bug)."""
+
+
+_DEADLINE_T0 = time.monotonic()
+_TOTAL_BUDGET = int(os.environ.get("BENCH_DEADLINE_S", "480"))
+
+
+def _remaining() -> float:
+    return _TOTAL_BUDGET - (time.monotonic() - _DEADLINE_T0)
+
+
+def _arm(seconds: float) -> None:
+    """(Re-)arm the alarm for this phase, capped by the global budget."""
+    seconds = max(1, min(int(seconds), int(max(_remaining(), 1))))
+    signal.alarm(seconds)
+
+
+def _disarm() -> None:
+    signal.alarm(0)
+
+
+def _install_handler() -> None:
+    def _raise(signum, frame):
+        raise BenchDeadline()
+
+    signal.signal(signal.SIGALRM, _raise)
 
 
 def build_store():
@@ -117,21 +166,7 @@ def cpu_baseline(store, q_emb, post_ids, post_w, weights, k):
     return f, ids, dt
 
 
-class BenchDeadline(Exception):
-    pass
-
-
-def _install_deadline(seconds: int) -> None:
-    import signal
-
-    def _raise(signum, frame):
-        raise BenchDeadline()
-
-    signal.signal(signal.SIGALRM, _raise)
-    signal.alarm(seconds)
-
-
-def main():
+def main(metrics):
     import jax
     import jax.numpy as jnp
 
@@ -142,7 +177,15 @@ def main():
 
     platform = jax.devices()[0].platform
     log(f"devices: {jax.devices()} (platform={platform})")
-    metrics = {}
+
+    # ---- PHASE: setup + all compiles + the batch slope (the headline).
+    # Budget: nearly the whole run — the slope program's *remote*
+    # compile is the long pole (98-330 s observed; the relay does not
+    # hit the local persistent cache) and the slope measurement itself
+    # takes ~2 s, so the headline is banked the moment compile lands.
+    # A deadline here means the relay compile path is wedged; the
+    # top-level handler emits whatever is banked.
+    _arm(_remaining() - 45)
 
     store, cfg = build_store()
     queries = sample_queries(store, Q_BATCH)
@@ -210,6 +253,8 @@ def main():
         jax.block_until_ready(out)
         jax.block_until_ready(single(use_pallas))
         log(f"search programs compiled ({time.time()-t0:.1f}s)")
+    except BenchDeadline:
+        raise
     except Exception as e:  # noqa: BLE001
         log(f"pallas path failed ({type(e).__name__}: {e}); XLA fallback")
         use_pallas = False
@@ -217,62 +262,89 @@ def main():
         jax.block_until_ready(out)
         jax.block_until_ready(single(use_pallas))
 
-    # Sustained device throughput via the in-program loop (the slope
-    # method, scripts/bench_scale.py): run the search r times inside
-    # ONE jitted fori_loop — the relay round trip (healthy ~0.03 ms,
-    # degraded 8–40 ms) is paid once per call and cancels in
-    # (t(r2) - t(r1)) / (r2 - r1). This is the number of record: it
-    # measures the chip, and on a healthy link the direct pipelined
-    # measurement above converges to the same value (cross-check).
-    slope_dt = float("inf")
-    try:
+    # Slope-method loop programs (batch-64 and single-query): compiled
+    # NOW, during setup, so (a) the measurement phases below never pay
+    # a compile and (b) the executables land in the persistent on-disk
+    # XLA compile cache — the next bench run (the driver's) hits cache.
+    def make_loop(q, pids, pw, w):
         def loop_program(r):
             def step(i, acc):
                 # the i-dependence stops XLA hoisting the body out of
                 # the loop; numerically a no-op (1 + i*1e-30 == 1.0)
-                qq = d_q * (1.0 + i.astype(jnp.float32) * 1e-30)
+                qq = q * (1.0 + i.astype(jnp.float32) * 1e-30)
                 f, ids, _, _ = sharded_hybrid_search(
-                    index.docs_t, d_post_ids, d_post_w, qq, d_w,
+                    index.docs_t, pids, pw, qq, w,
                     mesh=mesh, k=K, c=2 * K, n_docs=store.n_docs,
                     mode="weighted", use_pallas=use_pallas,
                 )
                 return acc + f.sum() + ids.sum().astype(jnp.float32)
             return jax.lax.fori_loop(0, r, step, jnp.float32(0.0))
+        return jax.jit(loop_program)
 
-        loop_jit = jax.jit(loop_program)
-        r1, r2 = 64, 4096
+    loop_jit = make_loop(d_q, d_post_ids, d_post_w, d_w)
+    sq_jit = make_loop(sq[0], sq[1], sq[2], sw)
+    slope_compiled = False
+    try:
+        t0 = time.time()
+        float(loop_jit(2))  # compile (dynamic trip count: one executable)
+        float(sq_jit(2))
+        log(f"slope loop programs compiled ({time.time()-t0:.1f}s)")
+        slope_compiled = True
+    except BenchDeadline:
+        # relay compile wedged: fall through to wall diagnostics so the
+        # run still emits a (flagged, provisional) number instead of 0
+        log(f"slope program compile deadlined after {time.time()-t0:.0f}s"
+            f" — continuing with wall diagnostics only")
 
+    def measure_slope(fn, r1=64, r2=4096):
         def timed(r):
             best = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
-                float(loop_jit(r))   # host fetch = true sync
+                float(fn(r))   # host fetch = true sync
                 best = min(best, time.perf_counter() - t0)
             return best
 
-        float(loop_jit(r1))  # compile once (dynamic trip count)
         t_r1, t_r2 = timed(r1), timed(r2)
-        slope_dt = (t_r2 - t_r1) / (r2 - r1)
-        log(f"slope method: t({r1})={t_r1*1e3:.1f} ms t({r2})="
-            f"{t_r2*1e3:.1f} ms -> {slope_dt*1e6:.1f} us/batch device")
-        if slope_dt <= 0:
-            slope_dt = float("inf")
-    except Exception as e:  # noqa: BLE001
-        log(f"slope measurement failed ({type(e).__name__}: {e}); "
-            f"falling back to direct pipelined timing")
+        dt = (t_r2 - t_r1) / (r2 - r1)
+        log(f"slope: t({r1})={t_r1*1e3:.1f} ms t({r2})={t_r2*1e3:.1f} ms"
+            f" -> {dt*1e6:.2f} us/iter device")
+        return dt if dt > 0 else float("inf")
+
+    # Batch slope: still inside the big setup budget (see above).
+    slope_dt = float("inf")
+    if slope_compiled:
+        try:
+            slope_dt = measure_slope(loop_jit)
+        except BenchDeadline:
+            log("batch slope deadlined; will retry after diagnostics")
+        except Exception as e:  # noqa: BLE001
+            log(f"batch slope failed ({type(e).__name__}: {e}); will retry")
     if slope_dt != float("inf"):
         # bank the headline metric IMMEDIATELY: everything after this
         # point is diagnostics, and a wedged relay mid-diagnostic must
-        # not cost the number of record (the deadline guard emits
-        # whatever is banked)
+        # not cost the number of record
         metrics["dev_qps"] = Q_BATCH / slope_dt
-        log(f"banked dev_qps={metrics['dev_qps']:.0f} (slope method)")
+        metrics["slope_ok"] = True
+        log(f"banked dev_qps={metrics['dev_qps']:.0f} (slope method, "
+            f"{slope_dt*1e6:.1f} us/batch-64 device)")
 
-    # The shared TPU relay has a bimodal per-dispatch latency (healthy
-    # ~0.03 ms, degraded ~8-30 ms — infra, not compute). Measure the
-    # dispatch floor with a trivial op; if degraded, wait and retry,
-    # keeping the best attempt. We are benchmarking the chip, not the
-    # tunnel's bad moods.
+    # single-query device latency by the same method
+    if slope_compiled:
+        try:
+            _arm(90)
+            sq_dt = measure_slope(sq_jit)
+            if sq_dt != float("inf"):
+                metrics["single_device_ms"] = sq_dt * 1e3
+                log(f"single-query device time (slope): {sq_dt*1e6:.1f} us")
+        except BenchDeadline:
+            log("single-query slope deadlined")
+        except Exception as e:  # noqa: BLE001
+            log(f"single-query slope failed: {type(e).__name__}: {e}")
+
+    # ---- PHASE: wall-clock diagnostics (sync/pipelined batch, p50).
+    # These characterize the relay, not the chip; they never override a
+    # banked slope number.
     trivial = jax.jit(lambda a: a * 2 + 1)
     probe = jnp.ones((8, 128))
 
@@ -284,119 +356,108 @@ def main():
         return (time.perf_counter() - t0) / 10
 
     best_sync = best_pipe = float("inf")
-    for attempt in range(2):
-        floor = dispatch_floor()
-        log(f"attempt {attempt}: dispatch floor {floor*1e3:.2f} ms")
-
-        t0 = time.perf_counter()
-        for _ in range(REPEATS):
-            out = device_run(use_pallas)
-            jax.block_until_ready(out)
-        best_sync = min(best_sync, (time.perf_counter() - t0) / REPEATS)
-
-        # pipelined throughput (queue depth > 1): dispatch all batches,
-        # then host-fetch the LAST result — TPU programs execute
-        # in-order, so this is a true sync even on the relay tunnel
-        # where bare block_until_ready can return early (BASELINE.md
-        # measurement notes)
-        pipe_n = REPEATS * 5
-        t0 = time.perf_counter()
-        outs = [device_run(use_pallas) for _ in range(pipe_n)]
-        np.asarray(outs[-1][0])
-        best_pipe = min(best_pipe, (time.perf_counter() - t0) / pipe_n)
-
-        if floor < 1e-3 and best_pipe < 1e-3:
-            break  # healthy measurement banked
-        if attempt == 0:
-            time.sleep(30)  # let the relay recover before retrying
-
-    sync_dt, pipe_dt = best_sync, best_pipe
-
-    # number of record: the slope (pure device time) when it measured;
-    # the direct wall numbers are diagnostics/cross-checks
-    dev_dt = slope_dt if slope_dt != float("inf") else min(sync_dt, pipe_dt)
-    dev_qps = Q_BATCH / dev_dt
-    log(f"device ({platform}, pallas={use_pallas}): sync "
-        f"{sync_dt*1e3:.2f} ms/batch, pipelined {pipe_dt*1e3:.2f} "
-        f"ms/batch, slope {slope_dt*1e3:.3f} ms/batch -> {dev_qps:.0f} QPS")
-    metrics["dev_qps"] = dev_qps
-
-    # single-query p50 — already compiled above; measured with the same
-    # floor-probed retry discipline as the batch numbers. The relay's
-    # degraded dispatch mode (~8-35 ms/call, infra not compute) must
-    # either be escaped by waiting or called out explicitly
-    # (VERDICT r1 item 4: healthy p50 <= 2 ms or a loud diagnostic).
-    best_p50 = best_p90 = float("inf")
-    floors = []
-    for attempt in range(2):
-        floor = dispatch_floor()
-        floors.append(floor)
-        for _ in range(10):
-            jax.block_until_ready(single(use_pallas))
-        lat = []
-        for _ in range(50):
-            t0 = time.perf_counter()
-            jax.block_until_ready(single(use_pallas))
-            lat.append(time.perf_counter() - t0)
-        p50 = float(np.percentile(lat, 50))
-        if p50 < best_p50:
-            best_p50, best_p90 = p50, float(np.percentile(lat, 90))
-        if floor < 1e-3 and best_p50 < 2e-3:
-            break
-        if attempt == 0:
-            log(f"single-query attempt {attempt}: p50 {p50*1e3:.2f} ms at "
-                f"dispatch floor {floor*1e3:.2f} ms — waiting for the "
-                f"relay to recover")
-            time.sleep(30)
-
-    # device-side single-query latency via the same slope method: the
-    # honest chip number even when the relay's per-dispatch overhead
-    # dominates the wall p50.
     try:
-        def sq_loop(r):
-            def step(i, acc):
-                qq = sq[0] * (1.0 + i.astype(jnp.float32) * 1e-30)
-                f, ids, _, _ = sharded_hybrid_search(
-                    index.docs_t, sq[1], sq[2], qq, sw,
-                    mesh=mesh, k=K, c=2 * K, n_docs=store.n_docs,
-                    mode="weighted", use_pallas=use_pallas,
-                )
-                return acc + f.sum() + ids.sum().astype(jnp.float32)
-            return jax.lax.fori_loop(0, r, step, jnp.float32(0.0))
+        _arm(90)
+        for attempt in range(2):
+            floor = dispatch_floor()
+            log(f"attempt {attempt}: dispatch floor {floor*1e3:.2f} ms")
 
-        sq_jit = jax.jit(sq_loop)
-        float(sq_jit(64))
+            t0 = time.perf_counter()
+            for _ in range(REPEATS):
+                out = device_run(use_pallas)
+                jax.block_until_ready(out)
+            best_sync = min(best_sync, (time.perf_counter() - t0) / REPEATS)
 
-        def sq_timed(r):
-            best = float("inf")
-            for _ in range(3):
+            # pipelined throughput (queue depth > 1): dispatch all
+            # batches, then host-fetch the LAST result — TPU programs
+            # execute in-order, so this is a true sync even on the relay
+            # tunnel where bare block_until_ready can return early
+            pipe_n = REPEATS * 5
+            t0 = time.perf_counter()
+            outs = [device_run(use_pallas) for _ in range(pipe_n)]
+            np.asarray(outs[-1][0])
+            best_pipe = min(best_pipe, (time.perf_counter() - t0) / pipe_n)
+
+            if floor < 1e-3 and best_pipe < 1e-3:
+                break  # healthy measurement banked
+            if attempt == 0 and _remaining() > 150:
+                time.sleep(30)  # let the relay recover before retrying
+        log(f"device ({platform}, pallas={use_pallas}): sync "
+            f"{best_sync*1e3:.2f} ms/batch, pipelined {best_pipe*1e3:.2f}"
+            f" ms/batch (wall diagnostics)")
+    except BenchDeadline:
+        log("wall diagnostics deadlined (non-fatal)")
+    if "dev_qps" not in metrics and min(best_sync, best_pipe) < float("inf"):
+        # last-resort fallback only — flagged, and the retry phase below
+        # still tries to replace it with a real slope number
+        metrics["dev_qps"] = Q_BATCH / min(best_sync, best_pipe)
+        log(f"provisional dev_qps={metrics['dev_qps']:.0f} from wall "
+            f"timing (slope pending retry)")
+
+    # single-query wall p50 (diagnostic; the relay's degraded dispatch
+    # mode is ~8-35 ms/call of tunnel overhead, not compute)
+    try:
+        _arm(90)
+        best_p50 = best_p90 = float("inf")
+        floors = []
+        for attempt in range(2):
+            floor = dispatch_floor()
+            floors.append(floor)
+            for _ in range(10):
+                jax.block_until_ready(single(use_pallas))
+            lat = []
+            for _ in range(50):
                 t0 = time.perf_counter()
-                float(sq_jit(r))
-                best = min(best, time.perf_counter() - t0)
-            return best
+                jax.block_until_ready(single(use_pallas))
+                lat.append(time.perf_counter() - t0)
+            p50 = float(np.percentile(lat, 50))
+            if p50 < best_p50:
+                best_p50, best_p90 = p50, float(np.percentile(lat, 90))
+            if floor < 1e-3 and best_p50 < 2e-3:
+                break
+            if attempt == 0 and _remaining() > 150:
+                log(f"single-query attempt {attempt}: p50 {p50*1e3:.2f} ms"
+                    f" at dispatch floor {floor*1e3:.2f} ms — waiting for"
+                    f" the relay to recover")
+                time.sleep(30)
+        log(f"single-query p50: {best_p50*1e3:.2f} ms "
+            f"(p90 {best_p90*1e3:.2f} ms)")
+        metrics["single_p50_ms"] = best_p50 * 1e3
+        if best_p50 >= 2e-3:
+            log(
+                f"DIAGNOSTIC: single-query p50 {best_p50*1e3:.2f} ms with "
+                f"dispatch floors {[f'{f*1e3:.2f}' for f in floors]} ms "
+                f"(healthy ~0.03 ms) — the TPU relay stayed in its "
+                f"degraded dispatch mode across all retries; the latency "
+                f"is tunnel overhead, not chip compute (device-side "
+                f"single-query time by the slope method: "
+                f"{metrics.get('single_device_ms', float('nan'))*1e3:.0f}"
+                f" us)"
+            )
+    except BenchDeadline:
+        log("p50 diagnostics deadlined (non-fatal)")
 
-        sq_dt = (sq_timed(4096) - sq_timed(64)) / (4096 - 64)
-        log(f"single-query device time (slope): {sq_dt*1e6:.1f} us")
-        metrics["single_device_ms"] = sq_dt * 1e3
-    except Exception as e:  # noqa: BLE001
-        log(f"single-query slope failed: {type(e).__name__}: {e}")
+    # ---- PHASE: batch slope retry. Round-2 evidence: the relay
+    # recovers mid-run (the single-query slope succeeded minutes after
+    # the batch slope died), so a failed batch slope MUST be retried —
+    # a degraded wall number is never the final headline while a slope
+    # can still be measured.
+    if slope_compiled and not metrics.get("slope_ok") and _remaining() > 30:
+        try:
+            _arm(min(90, _remaining() - 15))
+            slope_dt = measure_slope(loop_jit)
+            if slope_dt != float("inf"):
+                metrics["dev_qps"] = Q_BATCH / slope_dt
+                metrics["slope_ok"] = True
+                log(f"retry banked dev_qps={metrics['dev_qps']:.0f} "
+                    f"(slope method)")
+        except BenchDeadline:
+            log("batch slope retry deadlined")
+        except Exception as e:  # noqa: BLE001
+            log(f"batch slope retry failed: {type(e).__name__}: {e}")
 
-    log(f"single-query p50: {best_p50*1e3:.2f} ms (p90 {best_p90*1e3:.2f} ms)")
-    metrics["single_p50_ms"] = best_p50 * 1e3
-    if best_p50 >= 2e-3:
-        log(
-            f"DIAGNOSTIC: single-query p50 {best_p50*1e3:.2f} ms with "
-            f"dispatch floors {[f'{f*1e3:.2f}' for f in floors]} ms "
-            f"(healthy ~0.03 ms) — the TPU relay stayed in its degraded "
-            f"dispatch mode across all retries; the latency is tunnel "
-            f"overhead, not chip compute (device-side single-query time "
-            f"by the slope method: "
-            f"{metrics.get('single_device_ms', float('nan'))*1e3:.0f} us)"
-        )
-
-    # Everything below refines the report; the headline number is
-    # already banked. A relay stall must not starve the driver of the
-    # JSON line, so run the rest under the remaining deadline.
+    # ---- PHASE: correctness + encoder (refinements; headline banked)
+    _arm(max(_remaining() - 10, 5))
 
     # correctness: recall@k vs the exact golden (full stable argsort,
     # score desc / id asc — the math FAISS flat performs)
@@ -420,6 +481,7 @@ def main():
         len(set(dev_ids[i]) & set(gold_ids[i])) / K for i in range(Q_BATCH)
     ])
     log(f"recall@{K} vs exact golden: {agree:.4f}")
+    metrics["recall_at_k"] = float(agree)
 
     # ---- encoder throughput (after the search numbers: its remote
     # compile takes minutes and degrades later dispatches)
@@ -440,7 +502,7 @@ def main():
             rate = len(queries) / max(best_enc, 1e-9)
             if rate >= 500:
                 break  # the rate is the metric; floor mood irrelevant
-            if attempt < 2:
+            if attempt < 2 and _remaining() > 120:
                 log(f"encode attempt {attempt}: {rate:.0f} texts/s at "
                     f"floor {enc_floors[-1]*1e3:.2f} ms — waiting")
                 time.sleep(45)
@@ -468,15 +530,20 @@ def run():
     from legal_rag_tpu.utils.cache import enable_compile_cache
 
     enable_compile_cache(os.path.join(REPO, ".bench_cache", "jax"))
-    _install_deadline(int(os.environ.get("BENCH_DEADLINE_S", "480")))
+    _install_handler()
     try:
-        metrics = main() or metrics
+        main(metrics)
     except BenchDeadline:
         log("bench deadline hit — emitting metrics gathered so far")
     except Exception as e:  # noqa: BLE001
         log(f"bench aborted: {type(e).__name__}: {e}")
+    finally:
+        _disarm()
     dev_qps = metrics.get("dev_qps", 0.0)
     cpu_qps = metrics.get("cpu_qps", 0.0)
+    if not metrics.get("slope_ok") and dev_qps:
+        log("WARNING: headline is wall timing (no slope measurement "
+            "succeeded) — treat as a lower bound, not device time")
     print(json.dumps({
         "metric": "hybrid_search_qps_per_chip_batch64",
         "value": round(dev_qps, 1),

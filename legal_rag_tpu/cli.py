@@ -33,6 +33,19 @@ def _cmd_ingest(args) -> int:
         data.append(d)
     with open(args.out, "w", encoding="utf-8") as f:
         json.dump(data, f, ensure_ascii=False, indent=2)
+    if args.debug_dump:
+        # human-auditable dry-run dump (reference
+        # ingest_legal_docs.py:300-307 writes debug_chunks.txt)
+        with open(args.debug_dump, "w", encoding="utf-8") as f:
+            for i, (c, d) in enumerate(zip(chunks, data)):
+                meta = {
+                    k: v for k, v in d.get("metadata", {}).items()
+                    if v is not None
+                }
+                f.write(f"--- CHUNK {i+1} ---\n")
+                f.write(f"METADATA: {json.dumps(meta, ensure_ascii=False)}\n")
+                f.write(f"CONTENT:\n{d['text']}\n\n")
+        print(f"debug dump -> {args.debug_dump}")
     print(f"{len(chunks)} chunks -> {args.out}")
     for law, count in law_counts(chunks).items():
         print(f"  {law}: {count}")
@@ -48,9 +61,11 @@ def _cmd_build(args) -> int:
         finetune_steps=args.finetune_steps,
         pq_m=args.pq_m,
         rerank_steps=args.rerank_steps,
+        multi_vector=args.multi_vector,
         log_fn=(
             print
-            if (args.finetune_steps or args.pq_m or args.rerank_steps)
+            if (args.finetune_steps or args.pq_m or args.rerank_steps
+                or args.multi_vector)
             else None
         ),
     )
@@ -67,7 +82,16 @@ def _cmd_search(args) -> int:
 
     store = VectorStore.load(args.store)
     engine = RetrievalEngine(store)
-    results = engine.search(args.query, k=args.k, hybrid_weight=args.weight)
+    if args.mode:
+        rows = engine.search_batch(
+            [args.query], k=args.k, hybrid_weights=[args.weight],
+            mode=args.mode,
+        )[0]
+        results = [r.to_dict() for r in rows]
+    else:
+        results = engine.search(
+            args.query, k=args.k, hybrid_weight=args.weight
+        )
     for i, r in enumerate(results, 1):
         header = r["chunk"]["canonical_header"].replace("\n", " | ")
         print(
@@ -203,6 +227,9 @@ def _cmd_eval_retrieval(args) -> int:
         show("random-init encoder:", report["random_encoder"])
         show("fine-tuned encoder:", report["finetuned_encoder"])
     else:
+        from legal_rag_tpu.evaluation import paraphrase_pairs_from_chunks
+        from legal_rag_tpu.retrieval.engine import RetrievalEngine
+
         pairs = labeled_pairs_from_chunks(
             store.chunks, max_pairs=args.max_pairs
         )
@@ -210,8 +237,28 @@ def _cmd_eval_retrieval(args) -> int:
         modes = ["dense", "bm25", "weighted", "rrf"]
         if args.include_pq:
             modes.append("pq")   # capacity-tier candidate coverage
-        report = evaluate_store(store, pairs, modes=tuple(modes))
-        show("store encoder:", report["modes"])
+        if args.include_maxsim:
+            modes.append("maxsim")   # late-interaction tier
+        engine = RetrievalEngine(store)
+        report = evaluate_store(
+            store, pairs, modes=tuple(modes), engine=engine
+        )
+        show("store encoder (structure/title split):", report["modes"])
+
+        # lexical-gap split: every query token absent from every
+        # relevant chunk — BM25 gets zero signal by construction, so
+        # this isolates what the dense/semantic side adds
+        para = paraphrase_pairs_from_chunks(
+            store.chunks, max_pairs=args.max_pairs
+        )
+        print(f"{len(para)} lexical-gap (paraphrase) queries")
+        para_report = evaluate_store(
+            store, para, modes=tuple(m for m in modes if m != "pq"),
+            engine=engine,
+        )
+        show("store encoder (paraphrase/lexical-gap split):",
+             para_report["modes"])
+        report = {"structure": report, "paraphrase": para_report}
     if args.report:
         with open(args.report, "w", encoding="utf-8") as f:
             json.dump(report, f, indent=2)
@@ -232,6 +279,11 @@ def main(argv=None) -> int:
     p = sub.add_parser("ingest", help="parse legal markdown into chunks")
     p.add_argument("--docs", required=True)
     p.add_argument("--out", default="legal_chunks.json")
+    p.add_argument(
+        "--debug-dump", default="debug_chunks.txt",
+        help="human-auditable chunk dump (reference "
+             "ingest_legal_docs.py:300-307); '' disables",
+    )
     p.set_defaults(fn=_cmd_ingest)
 
     p = sub.add_parser("build", help="build the vector store")
@@ -255,6 +307,12 @@ def main(argv=None) -> int:
              "(0 = off); stores carrying it serve with the joint-"
              "attention precision stage auto-enabled",
     )
+    p.add_argument(
+        "--multi-vector", type=int, default=0, metavar="TOKEN_BUDGET",
+        help="persist per-chunk token embeddings (first N WordPiece "
+             "tokens) enabling the ColBERT-style late-interaction tier "
+             "(`search --mode maxsim`); 0 = off, 32 is a good budget",
+    )
     p.set_defaults(fn=_cmd_build)
 
     p = sub.add_parser("search", help="query a store from the CLI")
@@ -262,6 +320,12 @@ def main(argv=None) -> int:
     p.add_argument("--query", required=True)
     p.add_argument("--k", type=int, default=5)
     p.add_argument("--weight", type=float, default=0.5)
+    p.add_argument(
+        "--mode", default=None,
+        choices=["weighted", "rrf", "maxsim"],
+        help="fusion/scoring mode (default: config fusion mode; "
+             "maxsim needs a store built with --multi-vector)",
+    )
     p.set_defaults(fn=_cmd_search)
 
     p = sub.add_parser("serve", help="run the HTTP server")
@@ -303,6 +367,12 @@ def main(argv=None) -> int:
         help="also score the PQ capacity tier (dense-only through the "
              "4-bit codes + rescore) — its gap vs 'dense' is the "
              "measured cost of 32x compression on this corpus",
+    )
+    p.add_argument(
+        "--include-maxsim", action="store_true",
+        help="also score the late-interaction (MaxSim) tier — needs a "
+             "store built with --multi-vector; its delta vs 'dense' is "
+             "what token-level interaction buys",
     )
     p.set_defaults(fn=_cmd_eval_retrieval)
 

@@ -74,6 +74,81 @@ def labeled_pairs_from_chunks(
     return pairs
 
 
+def paraphrase_pairs_from_chunks(
+    chunks: Sequence[Dict],
+    min_query_words: int = 4,
+    max_query_words: int = 16,
+    per_section: int = 2,
+    max_pairs: Optional[int] = None,
+    seed: int = 0,
+) -> List[Tuple[str, List[int]]]:
+    """Lexical-gap ("paraphrase") split: BM25-unwinnable by construction.
+
+    Title queries (labeled_pairs_from_chunks) appear verbatim inside the
+    target chunks' headers, so BM25 wins them by exact match and the
+    split cannot show what the dense side adds. This split inverts that:
+    the query is built from the content tokens UNIQUE to one chunk of a
+    multi-chunk section, and the relevant set is that section's OTHER
+    chunks — every query token is absent from every relevant chunk, so
+    lexical matching carries zero signal and only semantic
+    generalization (the thing the corpus-contrastive fine-tune trains —
+    same-section spans are its positives, models/finetune.py) can
+    retrieve the target. The dense-vs-BM25 gap on this split is the
+    measured value of the hybrid stack's dense half.
+    """
+    groups: Dict[tuple, List[int]] = {}
+    for i, chunk in enumerate(chunks):
+        meta = chunk.get("metadata", {})
+        law = meta.get("law")
+        key = None
+        if law in ("BNS", "BNSS", "BSA") and meta.get("section"):
+            key = (law, str(meta.get("section")))
+        elif law == "SOP" and meta.get("chapter_title"):
+            key = (law, meta.get("chapter_title"))
+        elif law == "NALSA" and meta.get("clause"):
+            key = (law, str(meta.get("clause")))
+        if key is not None:
+            groups.setdefault(key, []).append(i)
+
+    rng = np.random.default_rng(seed)
+    pairs: List[Tuple[str, List[int]]] = []
+    for key in sorted(groups):
+        ids = groups[key]
+        if len(ids) < 2:
+            continue
+        toks = {
+            i: {
+                w for w in chunks[i]["text"].lower().split() if w.isalpha()
+            }
+            for i in ids
+        }
+        candidates = []
+        for src in ids:
+            rest = [i for i in ids if i != src]
+            other = set().union(*(toks[i] for i in rest))
+            seen: set = set()
+            uniq: List[str] = []
+            for w in chunks[src]["text"].lower().split():
+                if w.isalpha() and w not in other and w not in seen:
+                    seen.add(w)
+                    uniq.append(w)
+            if len(uniq) >= min_query_words:
+                candidates.append(
+                    (" ".join(uniq[:max_query_words]), sorted(rest))
+                )
+        if len(candidates) > per_section:
+            keep = rng.choice(
+                len(candidates), size=per_section, replace=False
+            )
+            candidates = [candidates[int(j)] for j in sorted(keep)]
+        pairs.extend(candidates)
+
+    if max_pairs is not None and len(pairs) > max_pairs:
+        keep = rng.choice(len(pairs), size=max_pairs, replace=False)
+        pairs = [pairs[int(j)] for j in sorted(keep)]
+    return pairs
+
+
 def recall_at_k(
     ranked_ids: np.ndarray, relevants: Sequence[Sequence[int]], k: int
 ) -> float:
@@ -191,6 +266,12 @@ def evaluate_store(
             ranked = ids_from_results(batched_search(
                 engine=eng_pq, mode="weighted",
                 hybrid_weights=[0.0] * chunk,
+            ))
+        elif mode == "maxsim":
+            # late-interaction tier (requires build --multi-vector);
+            # its delta vs 'dense' is what token-level interaction buys
+            ranked = ids_from_results(batched_search(
+                engine=engine, mode="maxsim", hybrid_weights=None,
             ))
         else:
             raise ValueError(f"unknown mode {mode!r}")

@@ -43,6 +43,7 @@ def build_index(
     finetune_steps: int = 0,
     pq_m: int = 0,
     rerank_steps: int = 0,
+    multi_vector: int = 0,
     log_fn=None,
 ) -> VectorStore:
     """Build a full index.
@@ -69,6 +70,11 @@ def build_index(
         checkpoint; stores carrying it serve with a joint-attention
         precision stage on top of hybrid retrieval (LegalEngine
         auto-enables it).
+      multi_vector: when > 0, additionally persist per-chunk TOKEN
+        embeddings (first ``multi_vector`` tokens, L2-normalized, from
+        the same encoder's hidden states) so the store serves the
+        ColBERT-style late-interaction tier (``search --mode maxsim``,
+        ops/maxsim.py + parallel/sharded.py sharded_maxsim_topk).
     """
     if isinstance(source, (str, Path)):
         path = Path(source)
@@ -103,6 +109,8 @@ def build_index(
         h.update(f"pq:{pq_m}:opq8".encode())
     if rerank_steps:
         h.update(f"rerank:{rerank_steps}".encode())
+    if multi_vector:
+        h.update(f"mv:{multi_vector}".encode())
     if encoder is not None:
         # a caller-supplied encoder (fine-tuned / converted weights)
         # must invalidate stores built by a different one — fingerprint
@@ -145,6 +153,17 @@ def build_index(
             )
 
     embeddings = encoder.encode(texts, batch_size=config.encoder.encode_batch)
+    mv_tokens = mv_mask = None
+    if multi_vector > 0:
+        mv_tokens, mv_mask = _encode_token_embeddings(
+            encoder, texts, multi_vector, config.encoder.encode_batch
+        )
+        if log_fn:
+            log_fn(
+                f"token-level index: [{mv_tokens.shape[0]}, "
+                f"{mv_tokens.shape[1]}, {mv_tokens.shape[2]}] f16 "
+                f"({mv_tokens.nbytes / 1e6:.0f} MB)"
+            )
     pq_codes = pq_codebooks = pq_rotation = None
     if pq_m > 0:
         from legal_rag_tpu.ops.pq import encode_pq, train_pq
@@ -187,6 +206,8 @@ def build_index(
         pq_codes=pq_codes,
         pq_codebooks=pq_codebooks,
         pq_rotation=pq_rotation,
+        mv_tokens=mv_tokens,
+        mv_mask=mv_mask,
     )
     if rerank_steps > 0:
         _train_validated_reranker(
@@ -195,6 +216,48 @@ def build_index(
     if store_dir is not None:
         store.save(store_dir)
     return store
+
+
+def _encode_token_embeddings(
+    encoder: SentenceEncoder,
+    texts: Sequence[str],
+    token_budget: int,
+    batch_size: int,
+):
+    """Per-chunk contextual token embeddings for the late-interaction
+    tier: the same MiniLM forward the pooled embeddings come from, but
+    keeping the (L2-normalized) per-token hidden states — truncated to
+    the first ``token_budget`` WordPiece tokens per chunk.
+
+    Returns ``(tokens [N, Td, D] float16, mask [N, Td] uint8)``.
+    """
+    import numpy as np
+    import jax.numpy as jnp
+
+    from legal_rag_tpu.ops.maxsim import minilm_token_embeddings
+
+    n = len(texts)
+    d = encoder.cfg.hidden
+    toks = np.zeros((n, token_budget, d), dtype=np.float16)
+    mask = np.zeros((n, token_budget), dtype=np.uint8)
+    tokenizer = getattr(encoder, "_fast_tokenizer", None) or (
+        encoder.tokenizer
+    )
+    max_len = min(encoder.cfg.max_len, token_budget)
+    for lo in range(0, n, batch_size):
+        batch = list(texts[lo : lo + batch_size])
+        ids, am = tokenizer.encode_batch(batch, max_len=max_len)
+        te = np.asarray(
+            minilm_token_embeddings(
+                encoder.params, jnp.asarray(ids), jnp.asarray(am),
+                encoder.cfg,
+            ),
+            dtype=np.float32,
+        )
+        t = min(te.shape[1], token_budget)
+        toks[lo : lo + len(batch), :t] = te[:, :t].astype(np.float16)
+        mask[lo : lo + len(batch), :t] = np.asarray(am)[:, :t]
+    return toks, mask
 
 
 def _train_validated_reranker(

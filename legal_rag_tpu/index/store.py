@@ -15,6 +15,9 @@ with a framework-native, versioned directory:
                          (optional — built with ``--pq-m``, ops/pq.py)
       cross_encoder.npz  trained cross-encoder reranker checkpoint
                          (optional — built with ``--rerank-steps``)
+      mv_tokens.npy      [N, Td, D] float16 token embeddings + mask
+      mv_mask.npy        (optional — built with ``--multi-vector``,
+                         the late-interaction MaxSim tier, ops/maxsim.py)
       chunks.json        full chunk list (text/metadata/canonical_header
                          /section_id) — the reference metadata.json
                          superset
@@ -75,6 +78,11 @@ class VectorStore:
     ce_params: Optional[Dict] = None   # trained cross-encoder reranker
                                        # checkpoint {"trunk","head"}
                                        # (models/cross_encoder.py)
+    mv_tokens: Optional[np.ndarray] = None   # [N, Td, D] float16 token
+                                             # embeddings (multi-vector
+                                             # late-interaction tier,
+                                             # ops/maxsim.py; mmap'd)
+    mv_mask: Optional[np.ndarray] = None     # [N, Td] uint8 (1 = real)
 
     @property
     def n_docs(self) -> int:
@@ -129,6 +137,17 @@ class VectorStore:
             from legal_rag_tpu.models.convert import save_params_npz
 
             save_params_npz(self.ce_params, store_dir / "cross_encoder.npz")
+        if self.mv_tokens is not None:
+            # separate .npy files (not npz) so serving can mmap the
+            # token slab — at Td=32 it is 16x the embedding matrix
+            np.save(
+                store_dir / "mv_tokens.npy",
+                np.asarray(self.mv_tokens, dtype=np.float16),
+            )
+            np.save(
+                store_dir / "mv_mask.npy",
+                np.asarray(self.mv_mask, dtype=np.uint8),
+            )
 
         artifacts = ["embeddings.npy", "bm25.npz", "vocab.txt", "chunks.json"]
         if self.wp_vocab:
@@ -139,6 +158,8 @@ class VectorStore:
             artifacts.append("pq.npz")
         if self.ce_params is not None:
             artifacts.append("cross_encoder.npz")
+        if self.mv_tokens is not None:
+            artifacts.extend(["mv_tokens.npy", "mv_mask.npy"])
         manifest = {
             "format_version": FORMAT_VERSION,
             "n_docs": int(self.n_docs),
@@ -224,6 +245,10 @@ class VectorStore:
             from legal_rag_tpu.models.convert import load_params_npz
 
             ce_params = load_params_npz(store_dir / "cross_encoder.npz")
+        mv_tokens = mv_mask = None
+        if "mv_tokens.npy" in manifest.get("artifacts", {}):
+            mv_tokens = np.load(store_dir / "mv_tokens.npy", mmap_mode="r")
+            mv_mask = np.load(store_dir / "mv_mask.npy", mmap_mode="r")
         with open(store_dir / "chunks.json", "r", encoding="utf-8") as f:
             chunks = json.load(f)
         return cls(
@@ -239,4 +264,6 @@ class VectorStore:
             pq_codebooks=pq_codebooks,
             pq_rotation=pq_rotation,
             ce_params=ce_params,
+            mv_tokens=mv_tokens,
+            mv_mask=mv_mask,
         )

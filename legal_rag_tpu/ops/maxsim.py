@@ -42,9 +42,15 @@ def maxsim_topk(
     k: int,
     block_n: int = 512,
     precision: jax.lax.Precision = jax.lax.Precision.DEFAULT,
+    n_valid: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact MaxSim top-k. Returns ``(scores [Q,k], ids [Q,k] i32)``
-    with descending scores, ties to the lowest doc id."""
+    with descending scores, ties to the lowest doc id.
+
+    ``n_valid``: optional traced count of real docs — rows >= n_valid
+    (e.g. a mesh's last-shard zero padding) never compete, even though
+    their all-pad-token score of 0.0 could beat real negative scores.
+    """
     q, tq, d = q_tokens.shape
     n, td, _ = doc_tokens.shape
     nb = -(-n // block_n)
@@ -76,7 +82,11 @@ def maxsim_topk(
     scores = jax.lax.map(score_block, (blocks_t, blocks_m))  # [nb, Q, B]
     scores = scores.transpose(1, 0, 2).reshape(q, n_pad)
     col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-    scores = jnp.where(col < n, scores, -jnp.inf)
+    limit = jnp.minimum(
+        jnp.int32(n),
+        jnp.asarray(n if n_valid is None else n_valid, jnp.int32),
+    )
+    scores = jnp.where(col < limit, scores, -jnp.inf)
     top_s, top_i = jax.lax.top_k(scores, k)
     return top_s, top_i.astype(jnp.int32)
 

@@ -359,6 +359,25 @@ def pq_topk(
             f"packed bytes/doc m={m} must divide by 4 (the kernel "
             "stacks 8 nibble subspaces per K=128 MXU dot)"
         )
+    # The VMEM clamp below floors block_n at lane_quantum; for query
+    # batches large enough that even one lane_quantum-wide block blows
+    # the measured-safe block_n*Q envelope (Q > 4096*64/lane_quantum),
+    # split the batch instead of silently exceeding it (ADVICE r2).
+    lane_quantum_q = seg_rows * 128
+    if q > 1 and q > (4096 * 64) // lane_quantum_q:
+        half = q // 2
+        lo = pq_topk(
+            queries[:half], codes, codebooks, k, n_valid=n_valid,
+            block_n=block_n, seg_rows=seg_rows, interpret=interpret,
+        )
+        hi = pq_topk(
+            queries[half:], codes, codebooks, k, n_valid=n_valid,
+            block_n=block_n, seg_rows=seg_rows, interpret=interpret,
+        )
+        return (
+            jnp.concatenate([lo[0], hi[0]], axis=0),
+            jnp.concatenate([lo[1], hi[1]], axis=0),
+        )
     n_sub = 2 * m
     dsub = d // n_sub
 

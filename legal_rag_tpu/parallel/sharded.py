@@ -218,7 +218,7 @@ def sharded_hybrid_search(
     q_emb: jax.Array,         # [Q, D] (replicated)
     weights: jax.Array,       # [Q] hybrid weights
     doc_scales: Optional[jax.Array] = None,  # [Npad] sharded, int8 mode
-    pq_codebooks: Optional[jax.Array] = None,  # [m, 256, dsub] f32,
+    pq_codebooks: Optional[jax.Array] = None,  # [2m, 16, dsub] f32,
                                                # replicated, PQ mode
     *,
     mesh: Mesh,
@@ -417,6 +417,91 @@ def sharded_hybrid_search(
     )(docs_t, doc_scales, pq_codebooks, post_ids, post_w, q_emb, weights)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "k", "n_docs", "block_n", "precision"),
+)
+def sharded_maxsim_topk(
+    doc_tokens: jax.Array,   # [Npad, Td, D] row-sharded over AXIS
+    doc_mask: jax.Array,     # [Npad, Td] row-sharded
+    q_tokens: jax.Array,     # [Q, Tq, D] replicated
+    q_mask: jax.Array,       # [Q, Tq] replicated
+    *,
+    mesh: Mesh,
+    k: int,
+    n_docs: int,
+    block_n: int = 512,
+    precision: jax.lax.Precision = jax.lax.Precision.DEFAULT,
+) -> Tuple[jax.Array, jax.Array]:
+    """Sharded late-interaction (MaxSim) top-k over the mesh.
+
+    Same collective shape as the dense path: each shard scores its
+    local token slab with :func:`legal_rag_tpu.ops.maxsim.maxsim_topk`
+    (global padding masked via ``n_valid``), one ``all_gather`` merges
+    the per-shard ``[Q, k]`` candidates, and a replicated two-key sort
+    yields the exact global (score desc, id asc) order — bit-identical
+    across mesh shapes because every shard's local top-k is a superset
+    of its members in the global top-k.
+
+    Returns ``(scores [Q, k] f32, ids [Q, k] i32)``; slots beyond the
+    corpus (k > n_docs) carry ``(-inf, -1)``.
+    """
+    from legal_rag_tpu.ops.maxsim import maxsim_topk
+
+    n_shards = mesh.shape[AXIS]
+    n_pad = doc_tokens.shape[0]
+    n_local = n_pad // n_shards
+    kl = min(k, n_local)
+
+    def body(dt, dm, qt, qm):
+        q = qt.shape[0]
+        shard = jax.lax.axis_index(AXIS)
+        base = (shard * n_local).astype(jnp.int32)
+        n_valid = jnp.clip(n_docs - base, 0, n_local)
+        s, i = maxsim_topk(
+            qt, qm, dt, dm, kl, block_n=block_n, precision=precision,
+            n_valid=n_valid,
+        )
+        bad = ~jnp.isfinite(s)
+        gids = jnp.where(bad, jnp.int32(-1), i + base)
+        s = jnp.where(bad, -jnp.inf, s)
+        if kl < k:
+            s = jnp.concatenate(
+                [s, jnp.full((q, k - kl), -jnp.inf, s.dtype)], axis=1
+            )
+            gids = jnp.concatenate(
+                [gids, jnp.full((q, k - kl), -1, gids.dtype)], axis=1
+            )
+
+        all_s = jax.lax.all_gather(s, AXIS)          # [S, Q, k]
+        all_i = jax.lax.all_gather(gids, AXIS)
+        all_s = all_s.transpose(1, 0, 2).reshape(q, n_shards * k)
+        all_i = all_i.transpose(1, 0, 2).reshape(q, n_shards * k)
+
+        # exact (score desc, id asc): invalid slots get unique
+        # out-of-range ids so the two-key sort sinks them last
+        slot = jax.lax.broadcasted_iota(jnp.int32, all_i.shape, 1)
+        sort_ids = jnp.where(all_i < 0, n_docs + slot, all_i)
+        neg_s, ids_sorted = jax.lax.sort(
+            (-all_s, sort_ids), num_keys=2, dimension=1
+        )
+        out_s = -neg_s[:, :k]
+        out_i = ids_sorted[:, :k]
+        out_i = jnp.where(out_i >= n_docs, -1, out_i)
+        return out_s, out_i.astype(jnp.int32)
+
+    return shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P(AXIS, None, None), P(AXIS, None),
+            P(None, None, None), P(None, None),
+        ),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,
+    )(doc_tokens, doc_mask, q_tokens, q_mask)
+
+
 @dataclasses.dataclass
 class ShardedIndex:
     """Device-resident sharded index handle.
@@ -442,7 +527,7 @@ class ShardedIndex:
     mesh: Mesh
     n_docs: int
     doc_scales: Optional[jax.Array] = None   # [Npad] f32, int8 mode only
-    pq_codebooks: Optional[jax.Array] = None  # [m, 256, dsub], pq mode
+    pq_codebooks: Optional[jax.Array] = None  # [2m, 16, dsub], pq mode
     pq_rotation: Optional[jax.Array] = None   # [D, D] OPQ rotation —
                                               # queries rotate at prep
                                               # time (engine), kernel
@@ -452,7 +537,7 @@ class ShardedIndex:
     def from_pq(
         cls,
         codes: np.ndarray,           # [N, m] uint8
-        codebooks: np.ndarray,       # [m, 256, dsub] f32
+        codebooks: np.ndarray,       # [2m, 16, dsub] f32
         mesh: Optional[Mesh] = None,
         rotation: Optional[np.ndarray] = None,
     ) -> "ShardedIndex":
@@ -531,4 +616,66 @@ class ShardedIndex:
             docs_t=jax.device_put(device, sharding),
             mesh=mesh,
             n_docs=n,
+        )
+
+
+@dataclasses.dataclass
+class ShardedMultiVectorIndex:
+    """Device-resident token-level index for late-interaction search.
+
+    The multi-vector analogue of :class:`ShardedIndex`: the
+    ``[N, Td, D]`` token slab and its mask shard row-wise over the
+    mesh's ``shard`` axis, and :func:`sharded_maxsim_topk` runs the
+    ColBERT-style MaxSim scan locally with an ``all_gather`` merge.
+    Storage defaults to bfloat16 (token slabs are Td times larger than
+    single-vector embeddings — at the default Td=32 budget a bf16 slab
+    is 16x the fp32 single-vector matrix).
+    """
+
+    doc_tokens: jax.Array   # [Npad, Td, D] row-sharded
+    doc_mask: jax.Array     # [Npad, Td] row-sharded
+    mesh: Mesh
+    n_docs: int
+
+    @classmethod
+    def from_arrays(
+        cls,
+        tokens: np.ndarray,      # [N, Td, D] float (any precision)
+        mask: np.ndarray,        # [N, Td]
+        mesh: Optional[Mesh] = None,
+        dtype: str = "bfloat16",
+    ) -> "ShardedMultiVectorIndex":
+        from legal_rag_tpu.parallel.mesh import make_mesh
+
+        mesh = mesh or make_mesh()
+        n, td, d = tokens.shape
+        n_shards = mesh.shape[AXIS]
+        n_pad = -(-n // n_shards) * n_shards
+        tpad = np.zeros((n_pad, td, d), dtype=np.float32)
+        tpad[:n] = np.asarray(tokens, dtype=np.float32)
+        mpad = np.zeros((n_pad, td), dtype=np.int32)
+        mpad[:n] = np.asarray(mask, dtype=np.int32)
+        jdt = jnp.asarray(
+            tpad,
+            dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32,
+        )
+        return cls(
+            doc_tokens=jax.device_put(
+                jdt, NamedSharding(mesh, P(AXIS, None, None))
+            ),
+            doc_mask=jax.device_put(
+                jnp.asarray(mpad), NamedSharding(mesh, P(AXIS, None))
+            ),
+            mesh=mesh,
+            n_docs=n,
+        )
+
+    def search(
+        self, q_tokens, q_mask, k: int, block_n: int = 512
+    ) -> Tuple[jax.Array, jax.Array]:
+        q_tokens = jnp.asarray(q_tokens, dtype=self.doc_tokens.dtype)
+        return sharded_maxsim_topk(
+            self.doc_tokens, self.doc_mask, q_tokens,
+            jnp.asarray(q_mask), mesh=self.mesh,
+            k=min(k, self.n_docs), n_docs=self.n_docs, block_n=block_n,
         )

@@ -19,6 +19,7 @@ Parity semantics reproduced exactly (tested in tests/test_engine.py):
 from __future__ import annotations
 
 import dataclasses
+import logging
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -33,6 +34,8 @@ from legal_rag_tpu.ops.dense import exact_rescore
 from legal_rag_tpu.parallel.mesh import make_mesh
 from legal_rag_tpu.parallel.sharded import ShardedIndex, sharded_hybrid_search
 from legal_rag_tpu.utils.timing import StageTimer
+
+logger = logging.getLogger("LegalRAG-RetrievalEngine")
 
 
 @dataclasses.dataclass
@@ -124,6 +127,15 @@ class RetrievalEngine:
                 rotation=store.pq_rotation,
             )
         else:
+            if config.dense.dtype == "pq":
+                logger.warning(
+                    "dense.dtype='pq' but the store has no persisted PQ "
+                    "artifacts — falling back to boot-time k-means over "
+                    "all %d embeddings, which can add a long cold start "
+                    "on large corpora. Rebuild with `build --pq-m %d` "
+                    "to persist the codebooks.",
+                    store.n_docs, config.dense.pq_m,
+                )
             self.index = ShardedIndex.from_embeddings(
                 store.embeddings, self.mesh, dtype=config.dense.dtype,
                 pq_m=config.dense.pq_m,
@@ -206,6 +218,18 @@ class RetrievalEngine:
         queries = list(queries) + [""] * (q_pad - n_real)
         hybrid_weights = list(hybrid_weights) + [0.0] * (q_pad - n_real)
 
+        if mode == "maxsim":
+            # late-interaction tier: token-level MaxSim scan over the
+            # sharded [N, Td, D] slab (ops/maxsim.py); no sparse side
+            mv = self.mv_index     # raises early when artifacts absent
+            with self.timer.stage("encode"):
+                q_tok, q_mask = self._encode_query_tokens(queries)
+            with self.timer.stage("device_search"):
+                s, i = mv.search(q_tok, q_mask, k)
+                scores, ids = np.asarray(s), np.asarray(i)
+            sem, key = scores, np.zeros_like(scores)
+            return self._assemble_results(n_real, k, scores, ids, sem, key)
+
         with self.timer.stage("encode"):
             q_emb = self.encoder.encode(queries)
         # OPQ: the device pass scores in the rotated space
@@ -257,7 +281,13 @@ class RetrievalEngine:
                     ),
                 )
 
+        return self._assemble_results(n_real, k, scores, ids, sem, key)
+
+    def _assemble_results(
+        self, n_real, k, scores, ids, sem, key
+    ) -> List[List[SearchResult]]:
         out: List[List[SearchResult]] = []
+        k = min(k, ids.shape[1])
         for qi in range(n_real):
             row = []
             for j in range(k):
@@ -277,6 +307,48 @@ class RetrievalEngine:
                 )
             out.append(row)
         return out
+
+    # -- late-interaction (multi-vector) tier --------------------------------
+
+    @property
+    def mv_index(self):
+        """Sharded token-level index, device-put lazily on first use
+        (the slab is Td times the embedding matrix — only maxsim-mode
+        callers pay for it)."""
+        if self.store.mv_tokens is None:
+            raise ValueError(
+                "store has no multi-vector artifacts; rebuild with "
+                "`build --multi-vector <token_budget>`"
+            )
+        mv = getattr(self, "_mv_index", None)
+        if mv is None:
+            from legal_rag_tpu.parallel.sharded import (
+                ShardedMultiVectorIndex,
+            )
+
+            mv = ShardedMultiVectorIndex.from_arrays(
+                self.store.mv_tokens, self.store.mv_mask, self.mesh
+            )
+            self._mv_index = mv
+        return mv
+
+    def _encode_query_tokens(self, queries: Sequence[str]):
+        """Query-side token embeddings (same encoder, same budget as
+        the stored slab)."""
+        from legal_rag_tpu.ops.maxsim import minilm_token_embeddings
+
+        td = int(self.store.mv_tokens.shape[1])
+        tokenizer = getattr(self.encoder, "_fast_tokenizer", None) or (
+            self.encoder.tokenizer
+        )
+        ids, am = tokenizer.encode_batch(
+            list(queries), max_len=min(self.encoder.cfg.max_len, td)
+        )
+        q_tok = minilm_token_embeddings(
+            self.encoder.params, jnp.asarray(ids), jnp.asarray(am),
+            self.encoder.cfg,
+        )
+        return q_tok, np.asarray(am)
 
     # -- reference-compatible API --------------------------------------------
 

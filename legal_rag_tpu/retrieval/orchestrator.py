@@ -100,13 +100,13 @@ class LegalOrchestrator:
                     merged.append(r.to_dict())
 
         if self.reranker is not None:
-            merged = self.rerank_results(query, merged)
+            merged = self.rerank_results(query, merged, k=k)
         prioritized = self.prioritize_results(merged, intent)
         expanded = self.expand_results(prioritized[:k])
         return {"intent": intent.to_dict(), "results": expanded}
 
     def rerank_results(
-        self, query: str, results: List[Dict]
+        self, query: str, results: List[Dict], k: int = 0
     ) -> List[Dict]:
         """Cross-encoder precision stage: score every (query, candidate
         text) pair jointly in one batched forward, min-max normalize the
@@ -114,11 +114,14 @@ class LegalOrchestrator:
         boosts that follow keep their semantics on a positive score),
         and reorder. Retrieval scores are preserved under
         ``retrieval_score``; ``rerank_score`` carries the raw logit.
-        Candidates past the pool cap are dropped rather than appended —
-        their un-normalized retrieval scores are not comparable to the
-        normalized pool scores, and the pool is already >= k wide.
+        The pool is at least ``max(rerank_candidates, k)`` wide so the
+        caller's k contract is preserved (a k=50 request is never
+        silently truncated to the 16-candidate rerank pool); candidates
+        past that cap are dropped rather than appended — their
+        un-normalized retrieval scores are not comparable to the
+        normalized pool scores.
         """
-        pool = results[: self.rerank_candidates]
+        pool = results[: max(self.rerank_candidates, k)]
         if not pool:
             return results
         texts = [r["chunk"]["text"] for r in pool]

@@ -150,3 +150,52 @@ def test_evaluate_store_pq_mode():
             assert 0.0 <= v <= 1.0
     # rescored PQ over a tiny corpus covers the exact dense top set
     assert modes["pq"]["recall@5"] >= modes["dense"]["recall@5"] - 0.1
+
+
+def test_paraphrase_pairs_lexical_gap_property():
+    """The split's defining invariant: every query token is absent from
+    every relevant chunk (BM25 gets zero signal by construction)."""
+    from legal_rag_tpu.evaluation import paraphrase_pairs_from_chunks
+
+    chunks = [
+        _chunk("the robber seized valuables under threat of harm",
+               section="1", title="Robbery"),
+        _chunk("imprisonment extends to ten years plus fine",
+               section="1", title="Robbery"),
+        _chunk("dishonest taking of movable property from possession",
+               section="1", title="Robbery"),
+        _chunk("single chunk section never yields a pair",
+               section="2", title="Theft"),
+        _chunk("whoever cheats shall answer for deception committed",
+               law="NALSA", clause="3", clause_title="Cheating"),
+        _chunk("relief is disbursed after verification of claims",
+               law="NALSA", clause="3", clause_title="Cheating"),
+    ]
+    pairs = paraphrase_pairs_from_chunks(chunks, min_query_words=2)
+    assert pairs, "multi-chunk sections must yield pairs"
+    for query, rel in pairs:
+        assert rel, query
+        rel_tokens = set()
+        for i in rel:
+            rel_tokens |= {
+                w for w in chunks[i]["text"].lower().split() if w.isalpha()
+            }
+        for w in query.split():
+            assert w not in rel_tokens, (query, w)
+        # relevant sets stay inside the source section
+        # (section 2 has one chunk -> can never appear)
+        assert 3 not in rel
+
+
+def test_paraphrase_pairs_deterministic_and_capped():
+    from legal_rag_tpu.evaluation import paraphrase_pairs_from_chunks
+
+    chunks = [
+        _chunk(f"unique{i} words{i} appear{i} here{i} only{i}",
+               section="9", title="Big Section")
+        for i in range(8)
+    ]
+    p1 = paraphrase_pairs_from_chunks(chunks, min_query_words=2)
+    p2 = paraphrase_pairs_from_chunks(chunks, min_query_words=2)
+    assert p1 == p2
+    assert len(p1) <= 2          # per_section cap
