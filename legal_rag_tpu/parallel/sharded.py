@@ -541,7 +541,9 @@ class ShardedIndex:
         mesh: Optional[Mesh] = None,
         rotation: Optional[np.ndarray] = None,
     ) -> "ShardedIndex":
-        from legal_rag_tpu.parallel.mesh import make_mesh
+        from legal_rag_tpu.parallel.mesh import (
+            device_put_global, make_mesh, replicate_global,
+        )
 
         mesh = mesh or make_mesh()
         n, m = codes.shape
@@ -550,12 +552,12 @@ class ShardedIndex:
         padded = np.zeros((n_pad, m), dtype=np.uint8)
         padded[:n] = codes
         return cls(
-            docs_t=jax.device_put(
-                jnp.asarray(padded), NamedSharding(mesh, P(AXIS, None))
-            ),
+            docs_t=device_put_global(padded, mesh, P(AXIS, None)),
             mesh=mesh,
             n_docs=n,
-            pq_codebooks=jnp.asarray(codebooks, dtype=jnp.float32),
+            pq_codebooks=replicate_global(
+                np.asarray(codebooks, dtype=np.float32), mesh
+            ),
             pq_rotation=(
                 None if rotation is None
                 else jnp.asarray(rotation, dtype=jnp.float32)
@@ -570,7 +572,9 @@ class ShardedIndex:
         dtype: str = "float32",
         pq_m: int = 48,
     ) -> "ShardedIndex":
-        from legal_rag_tpu.parallel.mesh import make_mesh
+        from legal_rag_tpu.parallel.mesh import (
+            device_put_global, make_mesh,
+        )
 
         mesh = mesh or make_mesh()
         n, d = embeddings.shape
@@ -590,8 +594,6 @@ class ShardedIndex:
         # keep the transposed layout contiguous per shard column-block
         docs_t = np.zeros((d, n_pad), dtype=np.float32)
         docs_t[:, :n] = np.ascontiguousarray(embeddings.T)
-        sharding = NamedSharding(mesh, P(None, AXIS))
-        scale_sharding = NamedSharding(mesh, P(AXIS))
 
         if dtype == "int8":
             scales = np.abs(docs_t).max(axis=0) / 127.0     # per doc
@@ -600,20 +602,22 @@ class ShardedIndex:
                 np.rint(docs_t / scales[None, :]), -127, 127
             ).astype(np.int8)
             return cls(
-                docs_t=jax.device_put(jnp.asarray(quant), sharding),
+                docs_t=device_put_global(quant, mesh, P(None, AXIS)),
                 mesh=mesh,
                 n_docs=n,
-                doc_scales=jax.device_put(
-                    jnp.asarray(scales.astype(np.float32)), scale_sharding
+                doc_scales=device_put_global(
+                    scales.astype(np.float32), mesh, P(AXIS)
                 ),
             )
 
-        device = jnp.asarray(
-            docs_t,
-            dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32,
+        # ml_dtypes gives numpy a true bfloat16 dtype, so the cast
+        # happens host-side and multi-host processes slice the same
+        # global buffer
+        host = docs_t.astype(
+            jnp.bfloat16 if dtype == "bfloat16" else np.float32
         )
         return cls(
-            docs_t=jax.device_put(device, sharding),
+            docs_t=device_put_global(host, mesh, P(None, AXIS)),
             mesh=mesh,
             n_docs=n,
         )
@@ -645,7 +649,9 @@ class ShardedMultiVectorIndex:
         mesh: Optional[Mesh] = None,
         dtype: str = "bfloat16",
     ) -> "ShardedMultiVectorIndex":
-        from legal_rag_tpu.parallel.mesh import make_mesh
+        from legal_rag_tpu.parallel.mesh import (
+            device_put_global, make_mesh,
+        )
 
         mesh = mesh or make_mesh()
         n, td, d = tokens.shape
@@ -655,17 +661,12 @@ class ShardedMultiVectorIndex:
         tpad[:n] = np.asarray(tokens, dtype=np.float32)
         mpad = np.zeros((n_pad, td), dtype=np.int32)
         mpad[:n] = np.asarray(mask, dtype=np.int32)
-        jdt = jnp.asarray(
-            tpad,
-            dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32,
+        host = tpad.astype(
+            jnp.bfloat16 if dtype == "bfloat16" else np.float32
         )
         return cls(
-            doc_tokens=jax.device_put(
-                jdt, NamedSharding(mesh, P(AXIS, None, None))
-            ),
-            doc_mask=jax.device_put(
-                jnp.asarray(mpad), NamedSharding(mesh, P(AXIS, None))
-            ),
+            doc_tokens=device_put_global(host, mesh, P(AXIS, None, None)),
+            doc_mask=device_put_global(mpad, mesh, P(AXIS, None)),
             mesh=mesh,
             n_docs=n,
         )
