@@ -41,6 +41,12 @@ class BM25Config:
     b: float = 0.75
     epsilon: float = 0.25           # negative-IDF floor factor
     max_query_terms: int = 32       # static pad for query term ids
+    postings_budget_cap: Optional[int] = 1 << 17
+    # Upper bound on the per-query postings buffer (131,072 postings ≈
+    # 1 MB/query). Exact for any query on corpora up to ~100k docs; on
+    # larger corpora a stopword-dense query overflows and degrades via
+    # impact-ordered truncation (ops/sparse.py gather_postings) — the
+    # measured recall effect at 1M docs is in BASELINE.md. None = uncapped.
 
 
 @dataclasses.dataclass(frozen=True)

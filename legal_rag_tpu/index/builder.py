@@ -279,18 +279,19 @@ def _train_validated_reranker(
         evaluate_rerank, labeled_pairs_from_chunks,
     )
     from legal_rag_tpu.models.cross_encoder import (
-        CrossEncoder, train_cross_encoder,
+        CrossEncoder, train_cross_encoder_hard,
     )
     from legal_rag_tpu.retrieval.engine import RetrievalEngine
 
     ce = CrossEncoder(encoder)
-    losses = train_cross_encoder(
-        ce, texts, steps=rerank_steps, log_fn=log_fn,
+    losses = train_cross_encoder_hard(
+        ce, texts, chunks=store.chunks, steps=rerank_steps, log_fn=log_fn,
     )
     if log_fn:
         log_fn(
             f"trained cross-encoder reranker {rerank_steps} steps "
-            f"(loss {losses[0]:.3f} -> {losses[-1]:.3f})"
+            f"(hard-negative listwise, loss {losses[0]:.3f} -> "
+            f"{losses[-1]:.3f})"
         )
     pairs = labeled_pairs_from_chunks(store.chunks, max_pairs=96)
     if not pairs:

@@ -92,25 +92,33 @@ class BM25Index:
             counts: Dict[int, int] = {}
             for t in self.query_term_ids(query):
                 counts[t] = counts.get(t, 0) + 1
-            pos = 0
-            for t, c in counts.items():
-                lo, hi = int(self.indptr[t]), int(self.indptr[t + 1])
-                span = hi - lo
-                if span == 0:
-                    continue
-                take = min(span, budget - pos)
-                if take < span:
-                    # Budget overflow: keep the highest-weight postings of
-                    # this term so truncation degrades gracefully.
-                    order = np.argsort(-self.weights[lo:hi], kind="stable")[:take]
-                    out_ids[qi, pos : pos + take] = self.doc_ids[lo:hi][order]
-                    out_w[qi, pos : pos + take] = c * self.weights[lo:hi][order]
-                else:
-                    out_ids[qi, pos : pos + take] = self.doc_ids[lo:hi]
-                    out_w[qi, pos : pos + take] = c * self.weights[lo : lo + take]
-                pos += take
-                if pos >= budget:
-                    break
+            if not counts:
+                continue
+            terms = np.fromiter(counts.keys(), np.int64, len(counts))
+            mult = np.fromiter(counts.values(), np.float32, len(counts))
+            starts = self.indptr[terms]
+            lens = self.indptr[terms + 1] - starts
+            total = int(lens.sum())
+            if total == 0:
+                continue
+            # Segmented iota (vectorized — no per-term Python): flat
+            # posting index p belongs to term seg[p]; its CSR offset is
+            # start[seg] + (p - excl_cumsum[seg]).
+            excl = np.cumsum(lens) - lens
+            seg = np.repeat(np.arange(len(terms)), lens)
+            idx = starts[seg] + np.arange(total, dtype=np.int64) - excl[seg]
+            ids = self.doc_ids[idx]
+            w = self.weights[idx] * mult[seg]
+            if total > budget:
+                # Budget overflow: impact-ordered truncation — keep the
+                # globally highest-weight postings (low-IDF stopword
+                # postings drop first), so a capped budget degrades
+                # ranking as little as possible.
+                keep = np.argpartition(-w, budget - 1)[:budget]
+                ids, w = ids[keep], w[keep]
+                total = budget
+            out_ids[qi, :total] = ids
+            out_w[qi, :total] = w
         return out_ids, out_w
 
     def query_term_meta(
@@ -145,16 +153,29 @@ class BM25Index:
                 counts[qi, slot] = c
         return starts, lens, counts
 
-    def postings_budget(self, queries: Sequence[str]) -> int:
+    def postings_budget(
+        self, queries: Sequence[str], cap: Optional[int] = None
+    ) -> int:
         """Smallest power-of-two budget covering the batch (bucketed so
-        jit recompiles at most log2 times)."""
+        jit recompiles at most log2 times).
+
+        ``cap`` (config: ``BM25Config.postings_budget_cap``) bounds the
+        buffer: a stopword-dense query over a large corpus can demand
+        millions of postings, and the cap trades that for the
+        impact-ordered truncation in :meth:`gather_postings` — the
+        recall effect is measured in scripts/bench_hybrid_scale.py.
+        """
         worst = 1
         for query in queries:
             total = 0
             for t in set(self.query_term_ids(query)):
                 total += int(self.indptr[t + 1] - self.indptr[t])
             worst = max(worst, total)
-        return 1 << max(0, (worst - 1).bit_length())
+        budget = 1 << max(0, (worst - 1).bit_length())
+        if cap is not None:
+            cap_p2 = 1 << max(0, (int(cap) - 1).bit_length())
+            budget = min(budget, cap_p2)
+        return budget
 
 
 def build_bm25(

@@ -241,7 +241,11 @@ class RetrievalEngine:
                 self.index.pq_rotation
             )
         with self.timer.stage("postings"):
-            budget = _pad_pow2(self.store.bm25.postings_budget(queries))
+            budget = _pad_pow2(
+                self.store.bm25.postings_budget(
+                    queries, cap=cfg.bm25.postings_budget_cap
+                )
+            )
             post_ids, post_w = self.store.bm25.gather_postings(queries, budget)
         with self.timer.stage("device_search"):
             scores, ids, sem, key = sharded_hybrid_search(

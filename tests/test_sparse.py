@@ -119,3 +119,47 @@ def test_reference_corpus_parity(index, reference_chunks):
     ids, w = idx.gather_postings([query], budget)
     scores = np.asarray(bm25_score_batch(jnp.asarray(ids), jnp.asarray(w), idx.n_docs))[0]
     np.testing.assert_allclose(scores, golden, rtol=1e-4, atol=1e-5)
+
+
+def test_budget_cap_rounds_to_pow2(index):
+    query = "the police fir w1"
+    full = index.postings_budget([query])
+    assert index.postings_budget([query], cap=None) == full
+    # a cap below the need wins (rounded up to a power of two)
+    assert index.postings_budget([query], cap=3) == 4
+    # a cap above the need leaves the budget alone
+    assert index.postings_budget([query], cap=10 * full) == full
+
+
+def test_truncated_gather_keeps_highest_impact_postings(index):
+    """Over-budget gather must keep the globally highest-weight postings
+    (impact-ordered truncation) and still score those docs exactly."""
+    query = "the police fir w1"
+    full_budget = index.postings_budget([query])
+    ids_f, w_f = index.gather_postings([query], full_budget)
+    valid_f = ids_f[0] < index.n_docs
+    full = sorted(
+        zip(w_f[0][valid_f], ids_f[0][valid_f]), reverse=True
+    )
+    budget = 4
+    assert budget < len(full)
+    ids_t, w_t = index.gather_postings([query], budget)
+    valid_t = ids_t[0] < index.n_docs
+    kept = sorted(zip(w_t[0][valid_t], ids_t[0][valid_t]), reverse=True)
+    # exactly the top-`budget` postings by weight survive
+    np.testing.assert_allclose(
+        [w for w, _ in kept], [w for w, _ in full[:budget]], rtol=1e-6
+    )
+
+
+def test_gather_with_term_multiplicity_exact(index, corpus_texts):
+    """Repeated query terms scale their postings by multiplicity; the
+    vectorized gather must reproduce golden scores exactly."""
+    query = "police police the fir"
+    golden = golden_bm25_scores(corpus_texts, query)
+    budget = index.postings_budget([query])
+    ids, w = index.gather_postings([query], budget)
+    scores = np.asarray(
+        bm25_score_batch(jnp.asarray(ids), jnp.asarray(w), index.n_docs)
+    )[0]
+    np.testing.assert_allclose(scores, golden, rtol=1e-5, atol=1e-6)
