@@ -60,12 +60,13 @@ def _cmd_build(args) -> int:
         store_dir=args.store,
         finetune_steps=args.finetune_steps,
         pq_m=args.pq_m,
+        ivf_cell_size=args.ivf_cell_size,
         rerank_steps=args.rerank_steps,
         multi_vector=args.multi_vector,
         log_fn=(
             print
             if (args.finetune_steps or args.pq_m or args.rerank_steps
-                or args.multi_vector)
+                or args.multi_vector or args.ivf_cell_size)
             else None
         ),
     )
@@ -300,6 +301,13 @@ def main(argv=None) -> int:
         help="train product-quantization codebooks with m subspaces "
              "(m bytes/doc; 0 = off) so serving can use the "
              "dense.dtype='pq' capacity tier without boot-time k-means",
+    )
+    p.add_argument(
+        "--ivf-cell-size", type=int, default=0, dest="ivf_cell_size",
+        help="with --pq-m: cluster the corpus into balanced cells of "
+             "this many docs for IVF coarse pruning — serving scans "
+             "only dense.ivf_probes cells/shard (o(N)) instead of all "
+             "codes; 0 = off, 1024 is a good cell size at 1M+ docs",
     )
     p.add_argument(
         "--rerank-steps", type=int, default=0, dest="rerank_steps",

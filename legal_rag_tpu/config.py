@@ -30,6 +30,12 @@ class DenseConfig:
     pq_m: int = 48                  # PQ packed bytes/doc when dtype="pq"
                                     # (2*pq_m nibble subspaces; dim must
                                     # divide by 2*pq_m)
+    ivf_probes: int = 64            # cells scanned per shard when the
+                                    # store carries IVF artifacts
+                                    # (build --ivf-cell-size); an o(N)
+                                    # read instead of the flat scan
+    use_ivf: bool = True            # permit IVF pruning when artifacts
+                                    # exist (False = flat PQ scan)
 
 
 @dataclasses.dataclass(frozen=True)

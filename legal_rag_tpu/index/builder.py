@@ -42,6 +42,7 @@ def build_index(
     store_dir=None,
     finetune_steps: int = 0,
     pq_m: int = 0,
+    ivf_cell_size: int = 0,
     rerank_steps: int = 0,
     multi_vector: int = 0,
     log_fn=None,
@@ -107,6 +108,8 @@ def build_index(
         # "opq8" fingerprints the quantizer recipe (8 OPQ iterations);
         # bump if the training procedure changes so stale stores rebuild
         h.update(f"pq:{pq_m}:opq8".encode())
+    if ivf_cell_size:
+        h.update(f"ivf:{ivf_cell_size}".encode())
     if rerank_steps:
         h.update(f"rerank:{rerank_steps}".encode())
     if multi_vector:
@@ -165,6 +168,7 @@ def build_index(
                 f"({mv_tokens.nbytes / 1e6:.0f} MB)"
             )
     pq_codes = pq_codebooks = pq_rotation = None
+    ivf_centroids = ivf_doc_ids = None
     if pq_m > 0:
         from legal_rag_tpu.ops.pq import encode_pq, train_pq
 
@@ -174,6 +178,22 @@ def build_index(
         pq_rotation = cb.rotation
         if log_fn:
             log_fn(f"trained OPQ+PQ codebooks (m={pq_m}, {pq_m} B/doc)")
+        if ivf_cell_size > 0:
+            from legal_rag_tpu.ops.pq import build_ivf
+
+            ivf = build_ivf(
+                embeddings, cb, pq_codes, cell_size=ivf_cell_size,
+            )
+            ivf_centroids = ivf.centroids
+            ivf_doc_ids = ivf.doc_ids
+            if log_fn:
+                log_fn(
+                    f"built IVF coarse index ({ivf.n_cells} cells x "
+                    f"{ivf_cell_size} docs)"
+                )
+    elif ivf_cell_size > 0:
+        raise ValueError("--ivf-cell-size requires --pq-m (IVF prunes "
+                         "the PQ capacity tier)")
     bm25 = build_bm25(
         texts,
         k1=config.bm25.k1,
@@ -208,6 +228,9 @@ def build_index(
         pq_rotation=pq_rotation,
         mv_tokens=mv_tokens,
         mv_mask=mv_mask,
+        ivf_centroids=ivf_centroids,
+        ivf_doc_ids=ivf_doc_ids,
+        ivf_cell_size=ivf_cell_size if ivf_centroids is not None else 0,
     )
     if rerank_steps > 0:
         _train_validated_reranker(

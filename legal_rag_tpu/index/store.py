@@ -83,6 +83,33 @@ class VectorStore:
                                              # late-interaction tier,
                                              # ops/maxsim.py; mmap'd)
     mv_mask: Optional[np.ndarray] = None     # [N, Td] uint8 (1 = real)
+    ivf_centroids: Optional[np.ndarray] = None  # [n_cells, D] f32 cell
+                                                # means (ops/pq.py IVF
+                                                # coarse pruning)
+    ivf_doc_ids: Optional[np.ndarray] = None    # [n_cells*S] i32 cell
+                                                # permutation, -1 = pad
+    ivf_cell_size: int = 0
+
+    def ivf_index(self):
+        """Materialize the :class:`legal_rag_tpu.ops.pq.IVFIndex` from
+        the persisted centroids + permutation (cell-ordered codes are a
+        derived view of ``pq_codes`` — not duplicated on disk)."""
+        if self.ivf_centroids is None or self.pq_codes is None:
+            return None
+        from legal_rag_tpu.ops.pq import IVFIndex
+
+        ids = np.asarray(self.ivf_doc_ids)
+        codes = np.zeros(
+            (len(ids), self.pq_codes.shape[1]), np.uint8
+        )
+        real = ids >= 0
+        codes[real] = np.asarray(self.pq_codes)[ids[real]]
+        return IVFIndex(
+            centroids=np.asarray(self.ivf_centroids),
+            codes=codes,
+            doc_ids=ids,
+            cell_size=int(self.ivf_cell_size),
+        )
 
     @property
     def n_docs(self) -> int:
@@ -137,6 +164,13 @@ class VectorStore:
             from legal_rag_tpu.models.convert import save_params_npz
 
             save_params_npz(self.ce_params, store_dir / "cross_encoder.npz")
+        if self.ivf_centroids is not None:
+            np.savez_compressed(
+                store_dir / "ivf.npz",
+                centroids=self.ivf_centroids,
+                doc_ids=self.ivf_doc_ids,
+                cell_size=np.int64(self.ivf_cell_size),
+            )
         if self.mv_tokens is not None:
             # separate .npy files (not npz) so serving can mmap the
             # token slab — at Td=32 it is 16x the embedding matrix
@@ -158,6 +192,8 @@ class VectorStore:
             artifacts.append("pq.npz")
         if self.ce_params is not None:
             artifacts.append("cross_encoder.npz")
+        if self.ivf_centroids is not None:
+            artifacts.append("ivf.npz")
         if self.mv_tokens is not None:
             artifacts.extend(["mv_tokens.npy", "mv_mask.npy"])
         manifest = {
@@ -249,6 +285,13 @@ class VectorStore:
         if "mv_tokens.npy" in manifest.get("artifacts", {}):
             mv_tokens = np.load(store_dir / "mv_tokens.npy", mmap_mode="r")
             mv_mask = np.load(store_dir / "mv_mask.npy", mmap_mode="r")
+        ivf_centroids = ivf_doc_ids = None
+        ivf_cell_size = 0
+        if "ivf.npz" in manifest.get("artifacts", {}):
+            ivf_data = np.load(store_dir / "ivf.npz")
+            ivf_centroids = ivf_data["centroids"]
+            ivf_doc_ids = ivf_data["doc_ids"]
+            ivf_cell_size = int(ivf_data["cell_size"])
         with open(store_dir / "chunks.json", "r", encoding="utf-8") as f:
             chunks = json.load(f)
         return cls(
@@ -266,4 +309,7 @@ class VectorStore:
             ce_params=ce_params,
             mv_tokens=mv_tokens,
             mv_mask=mv_mask,
+            ivf_centroids=ivf_centroids,
+            ivf_doc_ids=ivf_doc_ids,
+            ivf_cell_size=ivf_cell_size,
         )

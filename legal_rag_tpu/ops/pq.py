@@ -509,3 +509,201 @@ def pq_search_rescored(
         k=k,
     )
     return fused, ids
+
+
+# ---------------------------------------------------------------------------
+# IVF coarse pruning: sub-linear scan for the capacity tier
+# ---------------------------------------------------------------------------
+
+
+class IVFIndex(NamedTuple):
+    """Balanced-cell IVF layout over a PQ-coded corpus.
+
+    The classic IVF (faiss ``IndexIVFPQ``) keeps ragged per-cluster
+    posting lists — a shape XLA cannot tile. The TPU-shaped variant
+    here is *balanced cells*: documents are sorted by coarse k-means
+    cluster and chopped into consecutive fixed-size cells of
+    ``cell_size`` rows, each cell summarized by the mean of its member
+    embeddings. Every shape is static; a cell read is one contiguous
+    ``[cell_size, m]`` slice; only the corpus tail is padding.
+
+    centroids: ``[n_cells, D]`` float32 cell means (OPQ-rotated space,
+      matching the space queries are scored in).
+    codes:     ``[n_cells*cell_size, m]`` uint8, cell-ordered.
+    doc_ids:   ``[n_cells*cell_size]`` int32 original doc ids, -1 on
+      the padded tail.
+    cell_size: rows per cell.
+    """
+
+    centroids: np.ndarray
+    codes: np.ndarray
+    doc_ids: np.ndarray
+    cell_size: int
+
+    @property
+    def n_cells(self) -> int:
+        return self.centroids.shape[0]
+
+    @property
+    def n_pad(self) -> int:
+        """Padded tail rows (all in the last cell)."""
+        return int((self.doc_ids < 0).sum())
+
+
+def build_ivf(
+    embeddings: np.ndarray,
+    cb: PQCodebook,
+    codes: np.ndarray,
+    cell_size: int = 1024,
+    sample: int = 131072,
+    iters: int = 15,
+    seed: int = 0,
+    batch: int = 131072,
+) -> IVFIndex:
+    """Cluster a PQ-coded corpus into balanced cells for coarse pruning.
+
+    Coarse k-means (``N/cell_size`` centroids, trained on a sample with
+    the same jitted Lloyd loop the codebooks use) groups semantically
+    close documents; sorting by cluster and chopping into fixed
+    ``cell_size`` cells turns the ragged clusters into a dense
+    ``[n_cells, cell_size, m]`` layout. Cell means are computed from
+    the actual members, so boundary cells spanning two clusters stay
+    honestly summarized.
+    """
+    n, d = embeddings.shape
+    n_cells = max(1, -(-n // cell_size))
+    rng = np.random.default_rng(seed)
+
+    rows = (
+        rng.choice(n, size=sample, replace=False) if n > sample
+        else np.arange(n)
+    )
+    x_sample = cb.rotate(np.asarray(embeddings[rows], np.float32))
+    k_coarse = min(n_cells, len(rows))
+    init = x_sample[rng.choice(len(rows), size=k_coarse, replace=False)]
+    coarse = np.asarray(
+        _kmeans_subspace(jnp.asarray(x_sample), jnp.asarray(init), iters),
+        np.float32,
+    )
+
+    # assign every doc to its nearest coarse centroid (batched device
+    # matmul; cosine == inner product post-normalization is what search
+    # uses, but assignment must be least-squares like the k-means)
+    c_half = 0.5 * np.sum(coarse * coarse, axis=1)
+    assign = np.empty(n, np.int32)
+
+    @jax.jit
+    def _assign(xb):
+        return jnp.argmax(
+            xb @ jnp.asarray(coarse).T - jnp.asarray(c_half)[None, :],
+            axis=1,
+        ).astype(jnp.int32)
+
+    for lo in range(0, n, batch):
+        hi = min(lo + batch, n)
+        xb = cb.rotate(np.asarray(embeddings[lo:hi], np.float32))
+        assign[lo:hi] = np.asarray(_assign(jnp.asarray(xb)))
+
+    order = np.argsort(assign, kind="stable").astype(np.int32)
+    n_total = n_cells * cell_size
+    doc_ids = np.full(n_total, -1, np.int32)
+    doc_ids[:n] = order
+    cell_codes = np.zeros((n_total, codes.shape[1]), np.uint8)
+    cell_codes[:n] = np.asarray(codes)[order]
+
+    # cell means over actual members, in the rotated (scoring) space
+    centroids = np.zeros((n_cells, d), np.float32)
+    for c in range(n_cells):
+        members = doc_ids[c * cell_size : (c + 1) * cell_size]
+        members = members[members >= 0]
+        if len(members):
+            centroids[c] = cb.rotate(
+                np.asarray(embeddings[members], np.float32)
+            ).mean(axis=0)
+
+    return IVFIndex(
+        centroids=centroids, codes=cell_codes, doc_ids=doc_ids,
+        cell_size=cell_size,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "probes", "cell_size", "interpret"),
+)
+def _pq_ivf_topk_impl(
+    queries, centroids, cell_codes, cell_doc_ids, codebooks,
+    k: int, probes: int, cell_size: int, interpret: bool,
+):
+    q, _ = queries.shape
+    n_cells = centroids.shape[0]
+
+    # coarse probe: one [Q, n_cells] matmul -> shared probe set with a
+    # per-query guarantee: every query's own top-(probes//Q) cells are
+    # always included (scatter an indicator, bias those cells above
+    # everything), remaining slots go to the globally best cells. For
+    # Q=1 this degenerates to the query's exact top-`probes`.
+    cell_scores = queries @ centroids.T
+    t = max(1, min(probes // q, n_cells))
+    _, per_q = jax.lax.top_k(cell_scores, t)            # [Q, t]
+    picked = jnp.zeros((n_cells,), jnp.float32).at[
+        per_q.reshape(-1)
+    ].set(1.0)
+    agg = jnp.max(cell_scores, axis=0)
+    _, sel = jax.lax.top_k(agg + picked * 1e10, probes)
+    # ascending cell order => the padded tail cell (id n_cells-1) lands
+    # LAST in the gathered sub-corpus, so validity is a prefix count
+    sel = jnp.sort(sel)
+
+    rows = (
+        sel[:, None] * cell_size
+        + jnp.arange(cell_size, dtype=jnp.int32)[None, :]
+    ).reshape(-1)
+    sub_codes = jnp.take(cell_codes, rows, axis=0)      # [P*S, m]
+    sub_ids = jnp.take(cell_doc_ids, rows)              # [P*S]
+
+    n_sub = probes * cell_size
+    # padding (-1 ids) lives only in the tail cells by construction and
+    # `sel` is ascending, so validity is a prefix count
+    n_valid = jnp.sum(sub_ids >= 0).astype(jnp.int32)
+
+    kk = min(k, n_sub)
+    s, i = pq_topk(
+        queries, sub_codes, codebooks, kk, n_valid=n_valid,
+        interpret=interpret,
+    )
+    gids = jnp.take(sub_ids, jnp.clip(i, 0, n_sub - 1))
+    bad = (i < 0) | (gids < 0) | ~jnp.isfinite(s)
+    return jnp.where(bad, -jnp.inf, s), jnp.where(bad, -1, gids)
+
+
+def pq_ivf_topk(
+    queries: jax.Array,
+    ivf: IVFIndex,
+    codebooks,
+    k: int,
+    *,
+    probes: int = 64,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Top-k PQ candidates scanning only ``probes`` cells — o(N).
+
+    The flat ``pq_topk`` reads all N codes per batch; this reads
+    ``probes * cell_size`` rows (one contiguous slice per probed cell),
+    cutting HBM traffic by ``n_cells/probes`` — the regime where the
+    capacity tier lives (10M+ docs/chip) and the single-query latency
+    path. Probes are a shared sorted union across the batch
+    (max-aggregated cell scores), so large diverse batches should
+    prefer the flat scan (which amortizes the full read anyway);
+    serving dispatches IVF only for small batches.
+
+    Returns ``(pq_scores [Q, k], global_ids [Q, k])``; candidates feed
+    :func:`legal_rag_tpu.ops.dense.exact_rescore` exactly like the
+    flat path. Tie order within equal scores follows the cell layout
+    (not global id) — irrelevant post-rescore.
+    """
+    probes = min(probes, ivf.n_cells)
+    return _pq_ivf_topk_impl(
+        queries, jnp.asarray(ivf.centroids), jnp.asarray(ivf.codes),
+        jnp.asarray(ivf.doc_ids), jnp.asarray(codebooks),
+        k, probes, ivf.cell_size, interpret,
+    )

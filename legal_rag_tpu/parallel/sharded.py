@@ -137,6 +137,37 @@ def _local_pq_topc(q, codes_local, codebooks, base, n_docs, c, interpret):
     return jnp.where(bad, -jnp.inf, s), gids
 
 
+def _local_pq_ivf_topc(
+    q, codes_local, ids_local, cent_local, codebooks, c, probes,
+    cell_size, interpret,
+):
+    """Local [Q, C] PQ candidates via IVF coarse pruning (ops/pq.py).
+
+    Each shard probes its OWN cells (``probes`` is per shard), reading
+    only ``probes * cell_size`` code rows instead of its full slice —
+    the o(N) scan for the capacity tier. Ids arrive GLOBAL through the
+    cell permutation (``ids_local``), so no base arithmetic; invalid
+    slots are (-inf, -1) like every other local stage.
+    """
+    from legal_rag_tpu.ops.pq import _pq_ivf_topk_impl
+
+    p = min(probes, cent_local.shape[0])
+    kk = min(c, p * cell_size)
+    s, i = _pq_ivf_topk_impl(
+        q, cent_local, codes_local, ids_local, codebooks,
+        kk, p, cell_size, interpret,
+    )
+    if kk < c:
+        qn = q.shape[0]
+        s = jnp.concatenate(
+            [s, jnp.full((qn, c - kk), -jnp.inf, s.dtype)], axis=1
+        )
+        i = jnp.concatenate(
+            [i, jnp.full((qn, c - kk), -1, i.dtype)], axis=1
+        )
+    return s, i
+
+
 def _topk_padded(scores, c):
     """top_k that tolerates c > row length: missing slots padded with
     (-inf, -1) so gathered candidate shapes stay [Q, C] on any shard."""
@@ -207,7 +238,7 @@ def _bm25_segment_stats(pids, pw, n_docs):
     static_argnames=(
         "mesh", "k", "c", "n_docs", "mode", "use_pallas", "precision",
         "rrf_k", "block_n", "block_q", "sparse_mode", "data_axis",
-        "pq_interpret",
+        "pq_interpret", "ivf_probes", "ivf_cell_size",
     ),
 )
 def sharded_hybrid_search(
@@ -220,6 +251,10 @@ def sharded_hybrid_search(
     doc_scales: Optional[jax.Array] = None,  # [Npad] sharded, int8 mode
     pq_codebooks: Optional[jax.Array] = None,  # [2m, 16, dsub] f32,
                                                # replicated, PQ mode
+    ivf_centroids: Optional[jax.Array] = None,  # [n_cells_pad, D] f32,
+                                                # row-sharded (IVF mode)
+    ivf_doc_ids: Optional[jax.Array] = None,    # [Npad] i32 global ids,
+                                                # row-sharded like codes
     *,
     mesh: Mesh,
     k: int,
@@ -234,6 +269,8 @@ def sharded_hybrid_search(
     sparse_mode: str = "auto",   # auto | scatter | segsum
     data_axis: Optional[str] = None,
     pq_interpret: Optional[bool] = None,
+    ivf_probes: int = 64,
+    ivf_cell_size: int = 1024,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Returns ``(fused [Q,k], ids [Q,k], sem [Q,k], keyword [Q,k])``.
 
@@ -259,6 +296,10 @@ def sharded_hybrid_search(
     is_pq = docs_t.dtype == jnp.uint8
     if is_pq and pq_codebooks is None:
         raise ValueError("uint8 (PQ) doc codes require pq_codebooks")
+    is_ivf = is_pq and ivf_centroids is not None
+    if is_ivf and ivf_doc_ids is None:
+        raise ValueError("IVF mode requires ivf_doc_ids (the global-id "
+                         "cell permutation)")
     n_shards = mesh.shape[AXIS]
     n_pad_docs = docs_t.shape[0] if is_pq else docs_t.shape[1]
     n_local = n_pad_docs // n_shards
@@ -277,18 +318,33 @@ def sharded_hybrid_search(
     if pq_interpret is None:
         pq_interpret = jax.devices()[0].platform != "tpu"
 
-    use_segsum = sparse_mode == "segsum" or (
+    # IVF cells hold arbitrary GLOBAL doc ids (the cell permutation), so
+    # the scatter sparse path's local-row arithmetic cannot apply —
+    # segsum matches candidates by global id and is the capacity-tier
+    # path anyway.
+    use_segsum = is_ivf or sparse_mode == "segsum" or (
         sparse_mode == "auto" and n_local > LARGE_N_THRESHOLD
     )
 
-    def body(docs_local, scales_local, cb, pids, pw, qe, w):
+    if not is_ivf:
+        # tiny replicated dummies keep one body signature across modes
+        ivf_centroids = jnp.zeros((1, 1), dtype=jnp.float32)
+        ivf_doc_ids = jnp.zeros((1,), dtype=jnp.int32)
+
+    def body(docs_local, scales_local, cb, ivf_cent, ivf_ids, pids, pw,
+             qe, w):
         q = qe.shape[0]  # LOCAL query count (Q/data on a 2-D mesh)
         shard = jax.lax.axis_index(AXIS)
         base = (shard * n_local).astype(jnp.int32)
         qidx = jnp.arange(q, dtype=jnp.int32)[:, None]
 
         # ---- dense local candidates
-        if is_pq:
+        if is_ivf:
+            d_s, d_i = _local_pq_ivf_topc(
+                qe, docs_local, ivf_ids, ivf_cent, cb, c,
+                ivf_probes, ivf_cell_size, pq_interpret,
+            )
+        elif is_pq:
             d_s, d_i = _local_pq_topc(
                 qe, docs_local, cb, base, n_docs, c, pq_interpret,
             )
@@ -403,6 +459,8 @@ def sharded_hybrid_search(
 
     dax = data_axis
     spec_docs = P(AXIS, None) if is_pq else P(None, AXIS)
+    spec_ivf_cent = P(AXIS, None) if is_ivf else P(None, None)
+    spec_ivf_ids = P(AXIS) if is_ivf else P(None)
     spec_q2 = P(dax, None)   # [Q, ...] operands: data-sharded when 2-D
     spec_q1 = P(dax)
     return shard_map(
@@ -410,11 +468,13 @@ def sharded_hybrid_search(
         mesh=mesh,
         in_specs=(
             spec_docs, P(AXIS), P(None, None, None),
+            spec_ivf_cent, spec_ivf_ids,
             spec_q2, spec_q2, spec_q2, spec_q1,
         ),
         out_specs=(spec_q2, spec_q2, spec_q2, spec_q2),
         check_vma=False,
-    )(docs_t, doc_scales, pq_codebooks, post_ids, post_w, q_emb, weights)
+    )(docs_t, doc_scales, pq_codebooks, ivf_centroids, ivf_doc_ids,
+      post_ids, post_w, q_emb, weights)
 
 
 @functools.partial(
@@ -532,6 +592,62 @@ class ShardedIndex:
                                               # queries rotate at prep
                                               # time (engine), kernel
                                               # unchanged
+    ivf_centroids: Optional[jax.Array] = None  # [n_cells_pad, D] f32
+                                               # row-sharded (IVF mode)
+    ivf_doc_ids: Optional[jax.Array] = None    # [Npad] i32 global ids,
+                                               # row-sharded like codes
+    ivf_cell_size: int = 0
+
+    @classmethod
+    def from_pq_ivf(
+        cls,
+        ivf,                          # ops.pq.IVFIndex
+        codebooks: np.ndarray,        # [2m, 16, dsub] f32
+        mesh: Optional[Mesh] = None,
+        rotation: Optional[np.ndarray] = None,
+    ) -> "ShardedIndex":
+        """IVF-pruned PQ layout: cell-ordered codes row-sharded along
+        cell boundaries, cell centroids and the global-id permutation
+        sharded alongside. The cell count pads to the mesh with EMPTY
+        cells (ids -1, centroid -1e30 so probes never select them);
+        real padding already sits only in the corpus tail cell, so each
+        shard's validity stays a prefix.
+        """
+        from legal_rag_tpu.parallel.mesh import (
+            device_put_global, make_mesh, replicate_global,
+        )
+
+        mesh = mesh or make_mesh()
+        n_shards = mesh.shape[AXIS]
+        n_cells = ivf.n_cells
+        s_cell = ivf.cell_size
+        m = ivf.codes.shape[1]
+        d = ivf.centroids.shape[1]
+        nc_pad = -(-n_cells // n_shards) * n_shards
+
+        cents = np.full((nc_pad, d), -1e30, np.float32)
+        cents[:n_cells] = ivf.centroids
+        codes = np.zeros((nc_pad * s_cell, m), np.uint8)
+        codes[: n_cells * s_cell] = ivf.codes
+        ids = np.full((nc_pad * s_cell,), -1, np.int32)
+        ids[: n_cells * s_cell] = ivf.doc_ids
+        n_real = int((ivf.doc_ids >= 0).sum())
+
+        return cls(
+            docs_t=device_put_global(codes, mesh, P(AXIS, None)),
+            mesh=mesh,
+            n_docs=n_real,
+            pq_codebooks=replicate_global(
+                np.asarray(codebooks, dtype=np.float32), mesh
+            ),
+            pq_rotation=(
+                None if rotation is None
+                else jnp.asarray(rotation, dtype=jnp.float32)
+            ),
+            ivf_centroids=device_put_global(cents, mesh, P(AXIS, None)),
+            ivf_doc_ids=device_put_global(ids, mesh, P(AXIS)),
+            ivf_cell_size=s_cell,
+        )
 
     @classmethod
     def from_pq(

@@ -122,10 +122,19 @@ class RetrievalEngine:
         self.mesh = mesh or make_mesh(config.sharding.num_shards)
         if config.dense.dtype == "pq" and store.pq_codes is not None:
             # build-time-trained PQ artifacts: loads skip k-means
-            self.index = ShardedIndex.from_pq(
-                store.pq_codes, store.pq_codebooks, self.mesh,
-                rotation=store.pq_rotation,
+            ivf = (
+                store.ivf_index() if config.dense.use_ivf else None
             )
+            if ivf is not None:
+                self.index = ShardedIndex.from_pq_ivf(
+                    ivf, store.pq_codebooks, self.mesh,
+                    rotation=store.pq_rotation,
+                )
+            else:
+                self.index = ShardedIndex.from_pq(
+                    store.pq_codes, store.pq_codebooks, self.mesh,
+                    rotation=store.pq_rotation,
+                )
         else:
             if config.dense.dtype == "pq":
                 logger.warning(
@@ -256,6 +265,8 @@ class RetrievalEngine:
                 jnp.asarray(np.asarray(hybrid_weights, dtype=np.float32)),
                 self.index.doc_scales,
                 self.index.pq_codebooks,
+                self.index.ivf_centroids,
+                self.index.ivf_doc_ids,
                 mesh=self.mesh,
                 k=k_dev,
                 c=max(cfg.fusion.candidate_multiplier * k_dev, k_dev),
@@ -265,6 +276,8 @@ class RetrievalEngine:
                 rrf_k=cfg.fusion.rrf_k,
                 block_n=cfg.dense.block_n,
                 block_q=cfg.dense.block_q,
+                ivf_probes=cfg.dense.ivf_probes,
+                ivf_cell_size=self.index.ivf_cell_size,
             )
             scores, ids = np.asarray(scores), np.asarray(ids)
             sem, key = np.asarray(sem), np.asarray(key)

@@ -118,6 +118,64 @@ def main():
         f"docs, OPQ): {rec:.3f}"
     )
 
+    # --- IVF coarse pruning at full N on clustered data (VERDICT r2
+    # item 8): sub-linear scan + candidate recall at several probe
+    # counts, vs the flat pq_topk at the same N
+    from legal_rag_tpu.ops.pq import build_ivf, pq_ivf_topk
+
+    n_big = N
+    big_docs = centers[rng.integers(0, 2048, n_big)] + 0.3 * (
+        rng.standard_normal((n_big, D)).astype(np.float32)
+    )
+    big_docs /= np.linalg.norm(big_docs, axis=1, keepdims=True)
+    bq = big_docs[rng.integers(0, n_big, 16)] + 0.05 * (
+        rng.standard_normal((16, D)).astype(np.float32)
+    )
+    bq /= np.linalg.norm(bq, axis=1, keepdims=True)
+    cb_big = train_pq(big_docs, m=MB, iters=15, sample=32768, opq_iters=4)
+    codes_big = encode_pq(big_docs, cb_big)
+    t0 = time.time()
+    ivf = build_ivf(big_docs, cb_big, codes_big, cell_size=1024)
+    log(f"IVF build at N={n_big}: {time.time()-t0:.0f}s "
+        f"({ivf.n_cells} cells x 1024)")
+
+    exact_big = bq @ big_docs.T
+    gold = [set(np.argsort(-exact_big[i])[:10]) for i in range(16)]
+    qrot = jnp.asarray(cb_big.rotate(bq))
+    codes_big_d = jnp.asarray(codes_big)
+    cbs = jnp.asarray(cb_big.codebooks)
+
+    t0 = time.time()
+    _, fids = pq_topk(qrot, codes_big_d, cbs, K)
+    log(f"flat pq_topk compile+run: {time.time()-t0:.1f}s")
+    dt_flat = slope(
+        lambda qq: pq_topk(qq, codes_big_d, cbs, K), qrot, 1, 1 + R
+    )
+    fids = np.asarray(fids)
+    rec_flat = np.mean([
+        len(set(fids[i].tolist()) & gold[i]) / 10 for i in range(16)
+    ])
+    log(f"flat  scan: {dt_flat*1e3:6.2f} ms/batch-16  recall@10 "
+        f"{rec_flat:.3f} (reads {n_big*MB/1e6:.0f} MB)")
+
+    for probes in (32, 64, 128):
+        body = lambda qq, p=probes: pq_ivf_topk(
+            qq, ivf, cb_big.codebooks, K, probes=p
+        )
+        t0 = time.time()
+        _, iids = body(qrot)
+        log(f"ivf p={probes}: compile+run {time.time()-t0:.1f}s")
+        dt = slope(body, qrot, 1, 1 + R)
+        iids = np.asarray(iids)
+        rec_i = np.mean([
+            len(set(iids[i].tolist()) & gold[i]) / 10 for i in range(16)
+        ])
+        log(
+            f"ivf p={probes:4d}: {dt*1e3:6.2f} ms/batch-16  recall@10 "
+            f"{rec_i:.3f} (reads {probes*1024*MB/1e6:.0f} MB, "
+            f"{ivf.n_cells/probes:.0f}x less)"
+        )
+
 
 if __name__ == "__main__":
     main()

@@ -370,3 +370,258 @@ def test_engine_pq_rrf_mode(pq_store):
         for r in row:
             assert 0 <= r.doc_id < loaded.n_docs
             assert np.isfinite(r.score)
+
+
+# ---------------------------------------------------------------------------
+# IVF coarse pruning
+# ---------------------------------------------------------------------------
+
+
+def test_build_ivf_layout(clustered):
+    from legal_rag_tpu.ops.pq import build_ivf
+
+    docs, _ = clustered
+    cb = train_pq(docs, m=M, iters=10, seed=0)
+    codes = encode_pq(docs, cb)
+    ivf = build_ivf(docs, cb, codes, cell_size=128, iters=8, seed=0)
+    n = len(docs)
+    assert ivf.n_cells == -(-n // 128)
+    assert ivf.codes.shape == (ivf.n_cells * 128, M)
+    assert ivf.doc_ids.shape == (ivf.n_cells * 128,)
+    # every real doc appears exactly once; padding only at the tail
+    real = ivf.doc_ids[ivf.doc_ids >= 0]
+    assert sorted(real.tolist()) == list(range(n))
+    assert ivf.n_pad == ivf.n_cells * 128 - n
+    if ivf.n_pad:
+        assert (ivf.doc_ids[-ivf.n_pad:] < 0).all()
+    # permuted codes rows match the original rows
+    np.testing.assert_array_equal(ivf.codes[: n], codes[real[:n]])
+    # cell centroids live in the scoring space and are finite
+    assert np.isfinite(ivf.centroids).all()
+
+
+def test_ivf_candidates_match_flat_on_clustered_corpus(clustered):
+    """With clustered data, probing a fraction of cells must recover
+    (nearly) the flat scan's PQ candidates — the whole point of IVF."""
+    from legal_rag_tpu.ops.pq import build_ivf, pq_ivf_topk
+
+    docs, queries = clustered
+    queries = queries[:4]
+    cb = train_pq(docs, m=M, iters=15, seed=0)
+    codes = encode_pq(docs, cb)
+    ivf = build_ivf(docs, cb, codes, cell_size=64, iters=10, seed=0)
+
+    k = 10
+    flat_s, flat_i = pq_topk(
+        jnp.asarray(queries), jnp.asarray(codes),
+        jnp.asarray(cb.codebooks), k, interpret=True,
+    )
+    # probes = 1/2 of the cells -> 2x read reduction; each query keeps
+    # probes//Q = 4 guaranteed own cells
+    probes = max(1, ivf.n_cells // 2)
+    ivf_s, ivf_i = pq_ivf_topk(
+        jnp.asarray(queries), ivf, cb.codebooks, k,
+        probes=probes, interpret=True,
+    )
+    flat_i, ivf_i = np.asarray(flat_i), np.asarray(ivf_i)
+    recall = np.mean([
+        len(set(ivf_i[r]) & set(flat_i[r])) / k
+        for r in range(len(queries))
+    ])
+    assert recall >= 0.9, recall
+    # returned ids are valid and scores finite where id >= 0
+    ivf_s = np.asarray(ivf_s)
+    ok = ivf_i >= 0
+    assert np.isfinite(ivf_s[ok]).all()
+    assert (ivf_i[ok] < len(docs)).all()
+
+
+def test_ivf_single_query_probes_are_its_own(clustered):
+    """Q=1: the shared probe union degenerates to the query's exact
+    top-`probes` cells — full scan equivalence when probes = n_cells."""
+    from legal_rag_tpu.ops.pq import build_ivf, pq_ivf_topk
+
+    docs, queries = clustered
+    cb = train_pq(docs, m=M, iters=10, seed=0)
+    codes = encode_pq(docs, cb)
+    ivf = build_ivf(docs, cb, codes, cell_size=128, iters=8, seed=0)
+
+    k = 10
+    flat_s, flat_i = pq_topk(
+        jnp.asarray(queries[:1]), jnp.asarray(codes),
+        jnp.asarray(cb.codebooks), k, interpret=True,
+    )
+    ivf_s, ivf_i = pq_ivf_topk(
+        jnp.asarray(queries[:1]), ivf, cb.codebooks, k,
+        probes=ivf.n_cells, interpret=True,
+    )
+    # all cells probed == flat scan: identical candidate SET and scores
+    assert set(np.asarray(ivf_i)[0].tolist()) == set(
+        np.asarray(flat_i)[0].tolist()
+    )
+    np.testing.assert_allclose(
+        np.sort(np.asarray(ivf_s)[0]), np.sort(np.asarray(flat_s)[0]),
+        rtol=1e-5,
+    )
+
+
+@pytest.mark.parametrize("n_shards", [1, 2, 4])
+def test_sharded_ivf_full_probes_matches_flat_pq(clustered, n_shards):
+    """probes = all cells => every shard scans everything it owns, so
+    the sharded IVF program must equal the flat PQ program exactly."""
+    from legal_rag_tpu.ops.pq import build_ivf
+    from legal_rag_tpu.parallel.mesh import make_mesh
+    from legal_rag_tpu.parallel.sharded import (
+        ShardedIndex, sharded_hybrid_search,
+    )
+
+    docs, queries = clustered
+    queries = queries[:4]
+    cb = train_pq(docs, m=M, iters=10, seed=0)
+    codes = encode_pq(docs, cb)
+    ivf = build_ivf(docs, cb, codes, cell_size=128, iters=8, seed=0)
+
+    rng = np.random.default_rng(5)
+    pid = rng.integers(0, len(docs), (4, 16)).astype(np.int32)
+    pw = rng.random((4, 16)).astype(np.float32)
+    w = np.full(4, 0.5, np.float32)
+
+    mesh = make_mesh(n_shards)
+    flat = ShardedIndex.from_pq(codes, cb.codebooks, mesh)
+    fr = sharded_hybrid_search(
+        flat.docs_t, jnp.asarray(pid), jnp.asarray(pw),
+        jnp.asarray(queries), jnp.asarray(w),
+        pq_codebooks=flat.pq_codebooks,
+        mesh=mesh, k=5, c=20, n_docs=len(docs), mode="weighted",
+        sparse_mode="segsum",
+    )
+    ivf_idx = ShardedIndex.from_pq_ivf(ivf, cb.codebooks, mesh)
+    assert ivf_idx.n_docs == len(docs)
+    ir = sharded_hybrid_search(
+        ivf_idx.docs_t, jnp.asarray(pid), jnp.asarray(pw),
+        jnp.asarray(queries), jnp.asarray(w),
+        pq_codebooks=ivf_idx.pq_codebooks,
+        ivf_centroids=ivf_idx.ivf_centroids,
+        ivf_doc_ids=ivf_idx.ivf_doc_ids,
+        mesh=mesh, k=5, c=20, n_docs=len(docs), mode="weighted",
+        ivf_probes=ivf.n_cells, ivf_cell_size=ivf.cell_size,
+    )
+    np.testing.assert_array_equal(np.asarray(fr[1]), np.asarray(ir[1]))
+    np.testing.assert_allclose(
+        np.asarray(fr[0]), np.asarray(ir[0]), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_sharded_ivf_partial_probes_recall(clustered):
+    """Partial probing keeps high overlap with the full scan on
+    clustered data (the pruning contract), at every mesh width."""
+    from legal_rag_tpu.ops.pq import build_ivf
+    from legal_rag_tpu.parallel.mesh import make_mesh
+    from legal_rag_tpu.parallel.sharded import (
+        ShardedIndex, sharded_hybrid_search,
+    )
+
+    docs, queries = clustered
+    queries = queries[:4]
+    cb = train_pq(docs, m=M, iters=10, seed=0)
+    codes = encode_pq(docs, cb)
+    ivf = build_ivf(docs, cb, codes, cell_size=64, iters=10, seed=0)
+
+    pid = np.zeros((4, 4), np.int32)
+    pw = np.zeros((4, 4), np.float32)
+    w = np.zeros(4, np.float32)       # dense-only fusion
+
+    outs = {}
+    for n_shards in (1, 2):
+        mesh = make_mesh(n_shards)
+        idx = ShardedIndex.from_pq_ivf(ivf, cb.codebooks, mesh)
+        local_cells = -(-ivf.n_cells // n_shards)
+        _, ids, _, _ = sharded_hybrid_search(
+            idx.docs_t, jnp.asarray(pid), jnp.asarray(pw),
+            jnp.asarray(queries), jnp.asarray(w),
+            pq_codebooks=idx.pq_codebooks,
+            ivf_centroids=idx.ivf_centroids,
+            ivf_doc_ids=idx.ivf_doc_ids,
+            mesh=mesh, k=5, c=20, n_docs=len(docs), mode="weighted",
+            ivf_probes=max(1, local_cells // 2),
+            ivf_cell_size=ivf.cell_size,
+        )
+        outs[n_shards] = np.asarray(ids)
+
+    flat = ShardedIndex.from_pq(codes, cb.codebooks, make_mesh(1))
+    _, gold, _, _ = sharded_hybrid_search(
+        flat.docs_t, jnp.asarray(pid), jnp.asarray(pw),
+        jnp.asarray(queries), jnp.asarray(w),
+        pq_codebooks=flat.pq_codebooks,
+        mesh=make_mesh(1), k=5, c=20, n_docs=len(docs),
+        mode="weighted", sparse_mode="segsum",
+    )
+    gold = np.asarray(gold)
+    for n_shards, ids in outs.items():
+        recall = np.mean([
+            len(set(ids[r]) & set(gold[r])) / 5 for r in range(4)
+        ])
+        assert recall >= 0.8, (n_shards, recall)
+
+
+def test_ivf_store_roundtrip_and_engine(corpus_texts, tmp_path_factory):
+    """build --pq-m --ivf-cell-size: IVF artifacts persist (centroids +
+    permutation; cell codes derive from pq_codes at load), the engine
+    auto-uses the IVF index, and with probes covering all cells results
+    match the flat-PQ engine exactly."""
+    import dataclasses as dc
+
+    from legal_rag_tpu.index.builder import build_index
+    from legal_rag_tpu.index.store import VectorStore
+    from legal_rag_tpu.retrieval.engine import RetrievalEngine
+
+    chunks = [
+        {
+            "text": t,
+            "metadata": {"law": "TEST", "section": str(i),
+                         "unit_type": "section"},
+            "canonical_header": f"TEST Section {i}",
+            "section_id": f"TEST_{i}",
+        }
+        for i, t in enumerate(corpus_texts)
+    ]
+    d = tmp_path_factory.mktemp("ivf_store")
+    store = build_index(
+        chunks, config=_tiny_cfg(), store_dir=d, pq_m=8, ivf_cell_size=8,
+    )
+    assert store.ivf_centroids is not None
+    loaded = VectorStore.load(d)
+    assert loaded.ivf_cell_size == 8
+    ivf = loaded.ivf_index()
+    assert ivf is not None
+    np.testing.assert_array_equal(ivf.doc_ids, store.ivf_doc_ids)
+
+    cfg = _tiny_cfg()
+    n_cells = ivf.n_cells
+    cfg_full = dc.replace(
+        cfg, dense=dc.replace(cfg.dense, ivf_probes=n_cells)
+    )
+    eng_ivf = RetrievalEngine(loaded, config=cfg_full)
+    assert eng_ivf.index.ivf_centroids is not None
+    cfg_flat = dc.replace(cfg, dense=dc.replace(cfg.dense, use_ivf=False))
+    eng_flat = RetrievalEngine(loaded, config=cfg_flat)
+    assert eng_flat.index.ivf_centroids is None
+
+    queries = [corpus_texts[3][:40], corpus_texts[11][:40]]
+    r_ivf = eng_ivf.search_batch(queries, k=5)
+    r_flat = eng_flat.search_batch(queries, k=5)
+    for a, b in zip(r_ivf, r_flat):
+        assert [x.doc_id for x in a] == [x.doc_id for x in b]
+        np.testing.assert_allclose(
+            [x.score for x in a], [x.score for x in b], rtol=1e-5,
+        )
+    # partial probing still returns valid, mostly-overlapping results
+    cfg_part = dc.replace(
+        cfg, dense=dc.replace(cfg.dense, ivf_probes=max(1, n_cells // 2))
+    )
+    eng_part = RetrievalEngine(loaded, config=cfg_part)
+    r_part = eng_part.search_batch(queries, k=5)
+    for a, b in zip(r_part, r_flat):
+        ids_a = {x.doc_id for x in a}
+        ids_b = {x.doc_id for x in b}
+        assert len(ids_a & ids_b) >= 3
