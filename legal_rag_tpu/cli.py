@@ -148,6 +148,7 @@ def _cmd_finetune(args) -> int:
         batch_size=args.batch,
         learning_rate=args.lr,
         log_fn=print,
+        chunks=store.chunks,
     )
     save_params_npz(tuned.params, args.out)
     print(

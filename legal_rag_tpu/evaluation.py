@@ -326,6 +326,7 @@ def compare_encoders(
         steps=finetune_steps,
         batch_size=finetune_batch,
         log_fn=log_fn,
+        chunks=store.chunks,
     )
     tuned_store = build_index(chunks, encoder=tuned, config=config)
     tuned_report = evaluate_store(

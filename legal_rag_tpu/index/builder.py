@@ -103,7 +103,10 @@ def build_index(
     h.update(repr((config.encoder, config.bm25)).encode())
     if finetune_steps:
         # (omitted when 0 so pre-existing store hashes stay valid)
-        h.update(f"finetune:{finetune_steps}".encode())
+        # "sib" fingerprints the round-3 sibling-positive pair stream
+        # (models/finetune.py make_sibling_pairs) — bump invalidates
+        # stores fine-tuned on span-only pairs
+        h.update(f"finetune:{finetune_steps}:sib".encode())
     if pq_m:
         # "opq8" fingerprints the quantizer recipe (8 OPQ iterations);
         # bump if the training procedure changes so stale stores rebuild
@@ -148,6 +151,7 @@ def build_index(
             make_mesh(config.sharding.num_shards),
             steps=finetune_steps,
             log_fn=log_fn,
+            chunks=chunks,
         )
         if log_fn:
             log_fn(

@@ -48,6 +48,71 @@ def make_pairs(
         yield " ".join(words[lo : lo + take]), text
 
 
+def section_groups(chunks: Sequence[dict]) -> List[List[int]]:
+    """Group chunk indices by legal unit (section / SOP chapter / NALSA
+    clause) — the same keying the paraphrase eval split uses
+    (evaluation.paraphrase_pairs_from_chunks), so sibling positives
+    train exactly the cross-chunk bridging that split measures."""
+    groups = {}
+    for i, chunk in enumerate(chunks):
+        meta = chunk.get("metadata", {})
+        law = meta.get("law")
+        key = None
+        if law in ("BNS", "BNSS", "BSA") and meta.get("section"):
+            key = (law, str(meta.get("section")))
+        elif law == "SOP" and meta.get("chapter_title"):
+            key = (law, meta.get("chapter_title"))
+        elif law == "NALSA" and meta.get("clause"):
+            key = (law, str(meta.get("clause")))
+        if key is not None:
+            groups.setdefault(key, []).append(i)
+    return [groups[k] for k in sorted(groups)]
+
+
+def make_sibling_pairs(
+    chunks: Sequence[dict],
+    rng: np.random.Generator,
+    span_words: Tuple[int, int] = (3, 9),
+    sibling_prob: float = 0.5,
+) -> Iterator[Tuple[str, str]]:
+    """Pair stream mixing two positive distributions.
+
+    With probability ``1 - sibling_prob`` the positive is the span's own
+    chunk (lexical anchoring, as :func:`make_pairs`); with probability
+    ``sibling_prob`` it is a random OTHER chunk of the same section.
+    Same-chunk pairs teach span→chunk matching; sibling pairs teach the
+    section-level semantic bridging that pure span training never
+    learns — round 2's span-only encoder scored chance (0.003 r@10) on
+    the lexical-gap paraphrase split because nothing had ever pulled
+    sibling chunks together in embedding space.
+    """
+    texts = [c["text"] for c in chunks]
+    usable = [i for i, t in enumerate(texts) if t.split()]
+    if not usable:
+        raise ValueError("no non-empty texts to build training pairs from")
+    multi = [g for g in section_groups(chunks) if len(g) >= 2]
+
+    def span_of(i: int) -> str:
+        words = texts[i].split()
+        take = int(rng.integers(span_words[0], span_words[1]))
+        take = min(take, len(words))
+        lo = int(rng.integers(0, len(words) - take + 1))
+        return " ".join(words[lo : lo + take])
+
+    while True:
+        if multi and rng.random() < sibling_prob:
+            group = multi[int(rng.integers(len(multi)))]
+            src = group[int(rng.integers(len(group)))]
+            rest = [i for i in group if i != src]
+            pos = rest[int(rng.integers(len(rest)))]
+            if not texts[src].split():
+                continue
+            yield span_of(src), texts[pos]
+        else:
+            i = usable[int(rng.integers(len(usable)))]
+            yield span_of(i), texts[i]
+
+
 def finetune_encoder(
     encoder: SentenceEncoder,
     texts: Sequence[str],
@@ -59,6 +124,8 @@ def finetune_encoder(
     seed: int = 0,
     log_every: int = 20,
     log_fn=None,
+    chunks: Optional[Sequence[dict]] = None,
+    sibling_prob: float = 0.5,
 ) -> Tuple[SentenceEncoder, List[float]]:
     """Fine-tune in place-ish: returns a NEW SentenceEncoder holding the
     trained params (tokenizer shared) plus the loss history.
@@ -78,7 +145,10 @@ def finetune_encoder(
     )
 
     rng = np.random.default_rng(seed)
-    pair_stream = make_pairs(texts, rng)
+    if chunks is not None:
+        pair_stream = make_sibling_pairs(chunks, rng, sibling_prob=sibling_prob)
+    else:
+        pair_stream = make_pairs(texts, rng)
     max_len = min(encoder.cfg.max_len, 128)
     losses: List[float] = []
     for i in range(steps):

@@ -71,3 +71,61 @@ def test_tuned_encoder_invalidates_build_cache(corpus, tmp_path):
     s2 = build_index(chunks, encoder=tuned, config=cfg, store_dir=tmp_path)
     assert s2.corpus_hash != s1.corpus_hash  # cache invalidated
     assert not np.allclose(s1.embeddings, s2.embeddings)
+
+
+def _chunks_with_sections(corpus):
+    # two multi-chunk sections + singletons
+    chunks = []
+    for i, t in enumerate(corpus[:12]):
+        law, sec = ("BNS", str(1 + i % 2)) if i < 6 else ("BNSS", None)
+        meta = {"law": law}
+        if sec:
+            meta["section"] = sec
+        chunks.append({"text": t, "metadata": meta})
+    return chunks
+
+
+def test_sibling_pairs_bridge_sections(corpus):
+    from legal_rag_tpu.models.finetune import make_sibling_pairs, section_groups
+
+    chunks = _chunks_with_sections(corpus)
+    groups = section_groups(chunks)
+    assert sorted(len(g) for g in groups if len(g) >= 2) == [3, 3]
+    texts = [c["text"] for c in chunks]
+    by_text = {t: i for i, t in enumerate(texts)}
+    section_of = {}
+    for gi, g in enumerate(groups):
+        for i in g:
+            section_of[i] = gi
+
+    rng = np.random.default_rng(0)
+    stream = make_sibling_pairs(chunks, rng, sibling_prob=0.5)
+    sibling_seen = same_seen = 0
+    for _ in range(200):
+        q, pos = next(stream)
+        pos_id = by_text[pos]
+        if all(w in pos.split() for w in q.split()):
+            same_seen += 1
+        else:
+            # cross-chunk positive: the span's source must share pos's section
+            src_candidates = [
+                i for i in range(len(texts))
+                if i != pos_id and all(w in texts[i].split() for w in q.split())
+            ]
+            assert any(
+                section_of.get(i) == section_of.get(pos_id)
+                for i in src_candidates
+            ), (q, pos_id)
+            sibling_seen += 1
+    assert sibling_seen > 30 and same_seen > 30  # both modes exercised
+
+
+def test_sibling_pairs_fall_back_without_groups(corpus):
+    from legal_rag_tpu.models.finetune import make_sibling_pairs
+
+    chunks = [{"text": t, "metadata": {}} for t in corpus[:5]]
+    rng = np.random.default_rng(0)
+    stream = make_sibling_pairs(chunks, rng, sibling_prob=0.9)
+    for _ in range(20):
+        q, pos = next(stream)  # no multi-chunk sections -> same-chunk only
+        assert all(w in pos.split() for w in q.split())
