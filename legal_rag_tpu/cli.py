@@ -229,7 +229,7 @@ def _cmd_eval_retrieval(args) -> int:
         show("random-init encoder:", report["random_encoder"])
         show("fine-tuned encoder:", report["finetuned_encoder"])
     else:
-        from legal_rag_tpu.evaluation import paraphrase_pairs_from_chunks
+        from legal_rag_tpu.evaluation import sibling_span_pairs_from_chunks
         from legal_rag_tpu.retrieval.engine import RetrievalEngine
 
         pairs = labeled_pairs_from_chunks(
@@ -247,18 +247,19 @@ def _cmd_eval_retrieval(args) -> int:
         )
         show("store encoder (structure/title split):", report["modes"])
 
-        # lexical-gap split: every query token absent from every
-        # relevant chunk — BM25 gets zero signal by construction, so
-        # this isolates what the dense/semantic side adds
-        para = paraphrase_pairs_from_chunks(
+        # paraphrase split: a natural span from one chunk of a
+        # multi-chunk section retrieves the section's OTHER chunks
+        # (source masked) — winnable only through section-level
+        # semantics, the thing the sibling fine-tune trains
+        para = sibling_span_pairs_from_chunks(
             store.chunks, max_pairs=args.max_pairs
         )
-        print(f"{len(para)} lexical-gap (paraphrase) queries")
+        print(f"{len(para)} sibling-span (paraphrase) queries")
         para_report = evaluate_store(
             store, para, modes=tuple(m for m in modes if m != "pq"),
             engine=engine,
         )
-        show("store encoder (paraphrase/lexical-gap split):",
+        show("store encoder (paraphrase/sibling-span split):",
              para_report["modes"])
         report = {"structure": report, "paraphrase": para_report}
     if args.report:

@@ -149,6 +149,57 @@ def paraphrase_pairs_from_chunks(
     return pairs
 
 
+def sibling_span_pairs_from_chunks(
+    chunks: Sequence[Dict],
+    span_words: int = 12,
+    max_pairs: Optional[int] = None,
+    seed: int = 0,
+) -> List[Tuple[str, List[int], int]]:
+    """Paraphrase-style split: natural spans, sibling targets, source
+    masked.
+
+    Each query is a CONTIGUOUS ``span_words``-word window sampled from
+    one chunk of a multi-chunk legal unit (section / SOP chapter /
+    NALSA clause); the relevant set is that unit's OTHER chunks, and
+    the source chunk itself is excluded from the ranking (third tuple
+    element — ``evaluate_store`` drops it before scoring, else the
+    trivial lexical self-match would be the answer). This is the
+    in-distribution probe of the fine-tune's sibling objective
+    (models/finetune.py make_sibling_pairs): a span retrieves its
+    section's sibling chunks only through section-level semantics,
+    since the exact span text occurs nowhere in the targets. BM25 still
+    gets natural section-vocabulary signal (shared defined terms, law
+    names), so the split is a fair fight — the hybrid-vs-BM25 delta
+    here is the measured value of the dense half.
+
+    (The earlier lexical-gap variant, paraphrase_pairs_from_chunks,
+    strips every sibling-shared token from the query; that floors BM25
+    at exactly 0 but is so far out of any encoder's input distribution
+    that dense scores chance too — kept as a diagnostic, not a split a
+    system is expected to win.)
+    """
+    from legal_rag_tpu.models.finetune import section_groups
+
+    rng = np.random.default_rng(seed)
+    pairs: List[Tuple[str, List[int], int]] = []
+    for group in section_groups(chunks):
+        if len(group) < 2:
+            continue
+        for src in group:
+            words = chunks[src]["text"].split()
+            if len(words) < 8:
+                continue
+            take = min(span_words, len(words))
+            lo = int(rng.integers(0, len(words) - take + 1))
+            query = " ".join(words[lo : lo + take])
+            rest = [i for i in group if i != src]
+            pairs.append((query, rest, src))
+    if max_pairs is not None and len(pairs) > max_pairs:
+        keep = rng.choice(len(pairs), size=max_pairs, replace=False)
+        pairs = [pairs[int(j)] for j in sorted(keep)]
+    return pairs
+
+
 def recall_at_k(
     ranked_ids: np.ndarray, relevants: Sequence[Sequence[int]], k: int
 ) -> float:
@@ -213,9 +264,14 @@ def evaluate_store(
     from legal_rag_tpu.retrieval.engine import RetrievalEngine
 
     engine = engine or RetrievalEngine(store, config=config, encoder=encoder)
-    queries = [q for q, _ in pairs]
-    relevants = [rel for _, rel in pairs]
-    kmax = min(max(ks), store.n_docs)
+    queries = [p[0] for p in pairs]
+    relevants = [p[1] for p in pairs]
+    # optional third element: a doc id to mask from the ranking (the
+    # sibling-span split's source chunk) — retrieve one extra and drop
+    # it per row before scoring
+    excludes = [p[2] if len(p) > 2 else None for p in pairs]
+    extra = int(any(e is not None for e in excludes))
+    kmax = min(max(ks) + extra, store.n_docs)
     # chunk to a serving-sized bucket: one moderate executable reused
     # across chunks instead of one giant Q=next_pow2(len(pairs)) program
     chunk = 256
@@ -275,8 +331,14 @@ def evaluate_store(
             ))
         else:
             raise ValueError(f"unknown mode {mode!r}")
+        if extra:
+            filt = np.full_like(ranked, -1)
+            for qi in range(ranked.shape[0]):
+                row = [d for d in ranked[qi] if d != excludes[qi]]
+                filt[qi, : len(row)] = row
+            ranked = filt
         entry = {f"recall@{k}": recall_at_k(ranked, relevants, k) for k in ks}
-        entry["mrr"] = mrr_at_k(ranked, relevants, kmax)
+        entry["mrr"] = mrr_at_k(ranked, relevants, kmax - extra)
         report["modes"][mode] = entry
     return report
 

@@ -72,7 +72,7 @@ def section_groups(chunks: Sequence[dict]) -> List[List[int]]:
 def make_sibling_pairs(
     chunks: Sequence[dict],
     rng: np.random.Generator,
-    span_words: Tuple[int, int] = (3, 9),
+    span_words: Tuple[int, int] = (3, 13),
     sibling_prob: float = 0.5,
 ) -> Iterator[Tuple[str, str]]:
     """Pair stream mixing two positive distributions.
