@@ -417,10 +417,13 @@ def evaluate_rerank(
     ks: Sequence[int] = (1, 5, 10),
     config: RetrievalConfig = DEFAULT_CONFIG,
     engine=None,
+    alpha: float = 1.0,
 ) -> Dict:
     """Cross-encoder rerank stage on top of a base retrieval mode:
     retrieve top-``candidates`` with ``base_mode``, rerank them jointly
     (models/cross_encoder.py), report recall@k / MRR before vs after.
+    ``alpha`` blends CE scores with the base scores (1.0 = pure CE);
+    the builder's gate grid-searches it on held-out queries.
     """
     from legal_rag_tpu.retrieval.engine import RetrievalEngine
 
@@ -439,7 +442,10 @@ def evaluate_rerank(
         if not ids:
             continue
         texts = [store.chunks[d]["text"] for d in ids]
-        order = reranker.rerank(query, texts)
+        order = reranker.rerank(
+            query, texts,
+            base_scores=[r.score for r in rows], alpha=alpha,
+        )
         rer_ids[qi, : len(order)] = [ids[j] for j in order]
 
     out = {"n_queries": len(queries), "base_mode": base_mode,

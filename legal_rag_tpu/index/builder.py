@@ -310,9 +310,17 @@ def _train_validated_reranker(
     )
     from legal_rag_tpu.retrieval.engine import RetrievalEngine
 
+    # held-out validation: every 7th title pair is NEVER sampled during
+    # training, so the gate measures generalization to unseen titles,
+    # not memorization of the train set
+    all_pairs = labeled_pairs_from_chunks(store.chunks)
+    train_pairs = [p for i, p in enumerate(all_pairs) if i % 7]
+    valid_pairs = [p for i, p in enumerate(all_pairs) if not i % 7]
+
     ce = CrossEncoder(encoder)
     losses = train_cross_encoder_hard(
         ce, texts, chunks=store.chunks, steps=rerank_steps, log_fn=log_fn,
+        title_pairs=train_pairs,
     )
     if log_fn:
         log_fn(
@@ -320,8 +328,7 @@ def _train_validated_reranker(
             f"(hard-negative listwise, loss {losses[0]:.3f} -> "
             f"{losses[-1]:.3f})"
         )
-    pairs = labeled_pairs_from_chunks(store.chunks, max_pairs=96)
-    if not pairs:
+    if not valid_pairs:
         # nothing to validate against (unstructured corpus): persist,
         # flagged in the log — the caller opted in explicitly
         if log_fn:
@@ -329,18 +336,34 @@ def _train_validated_reranker(
         store.ce_params = ce.params
         return
     engine = RetrievalEngine(store, config=config, encoder=encoder)
-    report = evaluate_rerank(
-        store, pairs, ce, config=config, engine=engine,
-    )
-    base = report["modes"]["base"]["mrr"]
-    rer = report["modes"]["reranked"]["mrr"]
-    if rer >= base:
-        store.ce_params = ce.params
+    # fit the blend weight on the held-out split: small alphas let a
+    # noisy-but-real CE refine the base order without the authority to
+    # destroy it; alpha=1 is the pure-CE ordering
+    base = best = None
+    best_alpha = 0.0
+    for alpha in (0.25, 0.5, 0.75, 1.0):
+        report = evaluate_rerank(
+            store, valid_pairs, ce, config=config, engine=engine,
+            alpha=alpha,
+        )
+        base = report["modes"]["base"]["mrr"]
+        rer = report["modes"]["reranked"]["mrr"]
         if log_fn:
-            log_fn(f"reranker validated (mrr {base:.3f} -> {rer:.3f})")
+            log_fn(f"  gate alpha={alpha}: mrr {base:.4f} -> {rer:.4f}")
+        if best is None or rer > best:
+            best, best_alpha = rer, alpha
+    if best >= base:
+        store.ce_params = ce.params
+        store.ce_alpha = best_alpha
+        if log_fn:
+            log_fn(
+                f"reranker validated (held-out mrr {base:.3f} -> "
+                f"{best:.3f} at alpha={best_alpha})"
+            )
     elif log_fn:
         log_fn(
-            f"reranker REJECTED: reranked mrr {rer:.3f} < base "
-            f"{base:.3f} on {len(pairs)} eval queries — checkpoint not "
-            f"persisted (train longer or from a stronger trunk)"
+            f"reranker REJECTED: best reranked mrr {best:.3f} < base "
+            f"{base:.3f} on {len(valid_pairs)} held-out queries — "
+            f"checkpoint not persisted (train longer or from a "
+            f"stronger trunk)"
         )

@@ -78,6 +78,8 @@ class VectorStore:
     ce_params: Optional[Dict] = None   # trained cross-encoder reranker
                                        # checkpoint {"trunk","head"}
                                        # (models/cross_encoder.py)
+    ce_alpha: float = 1.0              # CE blend weight fit by the
+                                       # build gate (1.0 = pure CE)
     mv_tokens: Optional[np.ndarray] = None   # [N, Td, D] float16 token
                                              # embeddings (multi-vector
                                              # late-interaction tier,
@@ -208,6 +210,7 @@ class VectorStore:
             },
             "encoder": self.encoder_info,
             "corpus_hash": self.corpus_hash,
+            "ce_alpha": float(self.ce_alpha),
             "artifacts": {
                 name: _sha256(store_dir / name) for name in artifacts
             },
@@ -307,6 +310,7 @@ class VectorStore:
             pq_codebooks=pq_codebooks,
             pq_rotation=pq_rotation,
             ce_params=ce_params,
+            ce_alpha=float(manifest.get("ce_alpha", 1.0)),
             mv_tokens=mv_tokens,
             mv_mask=mv_mask,
             ivf_centroids=ivf_centroids,

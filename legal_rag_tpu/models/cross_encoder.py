@@ -142,12 +142,38 @@ class CrossEncoder:
         query: str,
         docs: Sequence[str],
         top_m: Optional[int] = None,
+        base_scores: Optional[Sequence[float]] = None,
+        alpha: float = 1.0,
     ) -> List[int]:
         """Indices of ``docs`` reordered by joint relevance (desc,
-        stable)."""
+        stable).
+
+        With ``base_scores`` the CE acts as a REFINEMENT, not a
+        replacement: both score vectors min-max normalize over the pool
+        and blend as ``(1-alpha)*base + alpha*ce``. ``alpha`` is fit by
+        the build-time gate (index/builder.py) on held-out queries —
+        small alphas let a CE with real-but-noisy signal improve the
+        base order without the authority to destroy it."""
         scores = self.score_pairs([query] * len(docs), list(docs))
+        if base_scores is not None and alpha < 1.0:
+            scores = blend_scores(scores, np.asarray(base_scores), alpha)
         order = np.argsort(-scores, kind="stable")
         return order[: top_m or len(docs)].tolist()
+
+
+def blend_scores(
+    ce_scores: np.ndarray, base_scores: np.ndarray, alpha: float
+) -> np.ndarray:
+    """``(1-alpha)*minmax(base) + alpha*minmax(ce)`` over one candidate
+    pool. Normalizing per pool makes the two scales commensurable
+    (CE logits are unbounded; base scores are fusion scores)."""
+
+    def norm(x):
+        x = np.asarray(x, np.float64)
+        lo, hi = float(x.min()), float(x.max())
+        return (x - lo) / ((hi - lo) or 1.0)
+
+    return (1.0 - alpha) * norm(base_scores) + alpha * norm(ce_scores)
 
 
 def make_ce_train_step(cfg: EncoderConfig, optimizer):
@@ -251,6 +277,8 @@ def train_cross_encoder_hard(
     max_len: int = 128,
     seed: int = 0,
     log_fn=None,
+    title_pairs: Optional[Sequence[Tuple[str, Sequence[int]]]] = None,
+    title_prob: float = 0.5,
 ) -> List[float]:
     """Hard-negative listwise training — the round-3 recipe that passes
     the builder's validation gate (BASELINE.md reranker table).
@@ -261,7 +289,11 @@ def train_cross_encoder_hard(
     (paraphrase-style, as the bi-encoder fine-tune uses) and, when
     ``chunks`` metadata is given, section/topic titles (the serving
     eval's query style) whose FULL relevant set is excluded from
-    negative mining so duplicate-title sections are never punished."""
+    negative mining so duplicate-title sections are never punished.
+
+    ``title_pairs`` overrides the derived title set — the builder's
+    gate passes only its TRAIN split here so validation titles stay
+    held out; ``title_prob`` sets the title-vs-span sampling mix."""
     from legal_rag_tpu.models.finetune import make_pairs
 
     rng = np.random.default_rng(seed)
@@ -269,14 +301,15 @@ def train_cross_encoder_hard(
     span_stream = make_pairs(texts, rng)
     span_index = {id(t): i for i, t in enumerate(texts)}
 
-    title_pairs = []
-    if chunks is not None:
-        from legal_rag_tpu.evaluation import labeled_pairs_from_chunks
+    if title_pairs is None:
+        title_pairs = []
+        if chunks is not None:
+            from legal_rag_tpu.evaluation import labeled_pairs_from_chunks
 
-        title_pairs = labeled_pairs_from_chunks(chunks)
+            title_pairs = labeled_pairs_from_chunks(chunks)
 
     def sample_group():
-        if title_pairs and rng.random() < 0.5:
+        if title_pairs and rng.random() < title_prob:
             q, rel = title_pairs[int(rng.integers(len(title_pairs)))]
             pos = int(rel[int(rng.integers(len(rel)))])
             exclude = rel

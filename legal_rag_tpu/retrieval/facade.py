@@ -64,7 +64,7 @@ class LegalEngine:
             )
         self.orchestrator = LegalOrchestrator(
             self.engine, classifier=QueryClassifier(classifier_llm),
-            reranker=reranker,
+            reranker=reranker, rerank_alpha=store.ce_alpha,
         )
         self.responder = LegalResponder(responder_llm)
 

@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from typing import Any, Dict, List, Optional, Tuple
 
+import numpy as np
+
 from legal_rag_tpu.retrieval.classifier import QueryClassifier, QueryIntent
 from legal_rag_tpu.retrieval.engine import RetrievalEngine, SearchResult
 from legal_rag_tpu.retrieval.llm import LLMClient
@@ -42,6 +44,7 @@ class LegalOrchestrator:
         llm: Optional[LLMClient] = None,
         reranker=None,
         rerank_candidates: int = 16,
+        rerank_alpha: float = 1.0,
     ):
         self.engine = engine
         self.classifier = classifier or QueryClassifier(llm)
@@ -51,6 +54,9 @@ class LegalOrchestrator:
         # rule boosts (models/cross_encoder.py)
         self.reranker = reranker
         self.rerank_candidates = rerank_candidates
+        # CE blend weight fit by the build gate (store.ce_alpha):
+        # final = (1-alpha)*minmax(base) + alpha*minmax(ce)
+        self.rerank_alpha = rerank_alpha
         # (law, section) -> section chunk, for parent expansion
         # (reference orchestrator.py:19-27)
         self.section_lookup: Dict[Tuple[str, str], Dict] = {}
@@ -126,12 +132,16 @@ class LegalOrchestrator:
             return results
         texts = [r["chunk"]["text"] for r in pool]
         logits = self.reranker.score_pairs([query] * len(texts), texts)
-        lo, hi = float(min(logits)), float(max(logits))
-        span = (hi - lo) or 1.0
-        for r, logit in zip(pool, logits):
+        from legal_rag_tpu.models.cross_encoder import blend_scores
+
+        final = blend_scores(
+            logits, np.asarray([r["score"] for r in pool]),
+            self.rerank_alpha,
+        )
+        for r, logit, f in zip(pool, logits, final):
             r["retrieval_score"] = r["score"]
             r["rerank_score"] = float(logit)
-            r["score"] = (float(logit) - lo) / span
+            r["score"] = float(f)
         pool.sort(key=lambda r: -r["score"])
         return pool
 
