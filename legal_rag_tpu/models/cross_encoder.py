@@ -279,6 +279,8 @@ def train_cross_encoder_hard(
     log_fn=None,
     title_pairs: Optional[Sequence[Tuple[str, Sequence[int]]]] = None,
     title_prob: float = 0.5,
+    warmup_frac: float = 0.25,
+    n_hard: Optional[int] = None,
 ) -> List[float]:
     """Hard-negative listwise training — the round-3 recipe that passes
     the builder's validation gate (BASELINE.md reranker table).
@@ -293,7 +295,17 @@ def train_cross_encoder_hard(
 
     ``title_pairs`` overrides the derived title set — the builder's
     gate passes only its TRAIN split here so validation titles stay
-    held out; ``title_prob`` sets the title-vs-span sampling mix."""
+    held out; ``title_prob`` sets the title-vs-span sampling mix.
+
+    Curriculum (round-3 finding): on ALL-hard groups from a cold-ish
+    trunk the loss never left chance (ln(1+n_neg)) — the model cannot
+    find the gradient between a positive and 7 near-misses before it
+    can tell a positive from anything at all. The first
+    ``warmup_frac`` of steps therefore use random negatives only
+    (which the same model drives to ~0 loss in tens of steps), after
+    which each group mixes ``n_hard`` mined negatives (default
+    ceil(n_neg/2)) with random fill — separation first, precision
+    second."""
     from legal_rag_tpu.models.finetune import make_pairs
 
     rng = np.random.default_rng(seed)
@@ -308,7 +320,19 @@ def train_cross_encoder_hard(
 
             title_pairs = labeled_pairs_from_chunks(chunks)
 
-    def sample_group():
+    if n_hard is None:
+        n_hard = -(-n_neg // 2)
+
+    def rand_negs(exclude, count):
+        out: List[int] = []
+        excl = set(int(e) for e in exclude)
+        while len(out) < count:
+            d = int(rng.integers(len(texts)))
+            if d not in excl:
+                out.append(d)
+        return out
+
+    def sample_group(hard: int):
         if title_pairs and rng.random() < title_prob:
             q, rel = title_pairs[int(rng.integers(len(title_pairs)))]
             pos = int(rel[int(rng.integers(len(rel)))])
@@ -317,7 +341,8 @@ def train_cross_encoder_hard(
             q, pos_text = next(span_stream)
             pos = span_index[id(pos_text)]
             exclude = [pos]
-        negs = mine(q, exclude, n_neg, rng)
+        negs = mine(q, exclude, hard, rng) if hard else []
+        negs += rand_negs(list(exclude) + negs, n_neg - len(negs))
         return q, [texts[pos]] + [texts[d] for d in negs]
 
     group = 1 + n_neg
@@ -326,12 +351,14 @@ def train_cross_encoder_hard(
     step = make_ce_train_step_grouped(ce.cfg, optimizer, group)
     max_len = min(max_len, ce.cfg.max_len)
 
+    warmup = int(steps * warmup_frac)
     losses: List[float] = []
     for i in range(steps):
+        hard = 0 if i < warmup else n_hard
         grid_q: List[str] = []
         grid_d: List[str] = []
         for _ in range(batch_queries):
-            q, docs = sample_group()
+            q, docs = sample_group(hard)
             grid_q.extend([q] * group)
             grid_d.extend(docs)
         ids, mask, tt = ce.encode_pairs(grid_q, grid_d, max_len=max_len)
