@@ -199,3 +199,48 @@ def test_paraphrase_pairs_deterministic_and_capped():
     p2 = paraphrase_pairs_from_chunks(chunks, min_query_words=2)
     assert p1 == p2
     assert len(p1) <= 2          # per_section cap
+
+
+def test_sibling_span_pairs_construction():
+    from legal_rag_tpu.evaluation import sibling_span_pairs_from_chunks
+
+    chunks = [
+        _chunk(" ".join(f"w{i}t{j}" for j in range(20)), section="1",
+               title="Theft")
+        for i in range(3)
+    ] + [_chunk("lonely single chunk section text here okay fine now",
+                section="2", title="Solo")]
+    pairs = sibling_span_pairs_from_chunks(chunks)
+    assert pairs, "multi-chunk sections must yield pairs"
+    for query, rel, src in pairs:
+        # query is a contiguous window of the SOURCE chunk's text
+        assert query in chunks[src]["text"]
+        # relevants = the section's other chunks; src never relevant
+        assert src not in rel and rel
+        for r in rel:
+            assert chunks[r]["metadata"]["section"] == \
+                chunks[src]["metadata"]["section"]
+    # single-chunk sections yield nothing
+    assert all(src != 3 for _, _, src in pairs)
+    # deterministic
+    assert pairs == sibling_span_pairs_from_chunks(chunks)
+
+
+def test_evaluate_store_source_masking():
+    """With the 3-tuple pairs, the excluded source chunk must never be
+    counted: a dense query identical to the source text would trivially
+    rank src first, but metrics must score the ranking with src
+    dropped."""
+    chunks = [
+        _chunk(" ".join(f"tok{i}x{j}" for j in range(12)), section="5",
+               title="Masked Section")
+        for i in range(3)
+    ]
+    store = build_index(chunks, config=CFG)
+    pairs = [(chunks[0]["text"], [1, 2], 0)]
+    rep = evaluate_store(store, pairs, ks=(1, 2), modes=("dense",),
+                         config=CFG)
+    d = rep["modes"]["dense"]
+    # top-1 after masking src must be one of the siblings (corpus has
+    # only this section, so recall@2 over {1,2} is certain)
+    assert d["recall@2"] == 1.0
