@@ -26,7 +26,7 @@ RUN make -C legal_rag_tpu/native || true
 COPY README.md corpus* /corpus/
 RUN if ls /corpus/*.md /corpus/*.json >/dev/null 2>&1 \
         && [ "$(ls /corpus | grep -v '^README.md$' | head -1)" ]; then \
-        python -m legal_rag_tpu build --source /corpus --store /app/data/store --finetune-steps 400; \
+        python -m legal_rag_tpu build --source /corpus --store /app/data/store --finetune-steps 4000; \
     fi
 
 ENV PORT=8000 LEGAL_RAG_STORE=/app/data/store
@@ -37,6 +37,6 @@ HEALTHCHECK --interval=30s --timeout=5s \
 # build-at-boot fallback: LEGAL_RAG_CORPUS=/mounted/corpus
 CMD ["sh", "-c", "\
     if [ ! -f ${LEGAL_RAG_STORE}/manifest.json ] && [ -n \"${LEGAL_RAG_CORPUS}\" ]; then \
-        python -m legal_rag_tpu build --source ${LEGAL_RAG_CORPUS} --store ${LEGAL_RAG_STORE} --finetune-steps 400; \
+        python -m legal_rag_tpu build --source ${LEGAL_RAG_CORPUS} --store ${LEGAL_RAG_STORE} --finetune-steps 4000; \
     fi; \
     python -m legal_rag_tpu serve --store ${LEGAL_RAG_STORE} --port ${PORT}"]

@@ -12,7 +12,7 @@ if [ -d "$STORE" ]; then
 elif [ -n "${LEGAL_RAG_CORPUS:-}" ] && [ -d "$LEGAL_RAG_CORPUS" ]; then
     echo "No store at $STORE; building from corpus $LEGAL_RAG_CORPUS..."
     python -m legal_rag_tpu build \
-        --source "$LEGAL_RAG_CORPUS" --store "$STORE" --finetune-steps 400
+        --source "$LEGAL_RAG_CORPUS" --store "$STORE" --finetune-steps 4000
 else
     echo "WARNING: no store at $STORE and no LEGAL_RAG_CORPUS set;" \
          "the server will report engine_status=error on /health"
