@@ -106,7 +106,9 @@ def build_index(
         # "sib" fingerprints the round-3 sibling-positive pair stream
         # (models/finetune.py make_sibling_pairs) — bump invalidates
         # stores fine-tuned on span-only pairs
-        h.update(f"finetune:{finetune_steps}:sib".encode())
+        # "sib0.6" = swept sibling_prob default (BASELINE.md recipe
+        # sweep: 4000 steps / p_sib 0.6 wins both splits)
+        h.update(f"finetune:{finetune_steps}:sib0.6".encode())
     if pq_m:
         # "opq8" fingerprints the quantizer recipe (8 OPQ iterations);
         # bump if the training procedure changes so stale stores rebuild
@@ -341,7 +343,7 @@ def _train_validated_reranker(
     # destroy it; alpha=1 is the pure-CE ordering
     base = best = None
     best_alpha = 0.0
-    for alpha in (0.25, 0.5, 0.75, 1.0):
+    for alpha in (0.1, 0.25, 0.5, 0.75, 1.0):
         report = evaluate_rerank(
             store, valid_pairs, ce, config=config, engine=engine,
             alpha=alpha,

@@ -73,7 +73,7 @@ def make_sibling_pairs(
     chunks: Sequence[dict],
     rng: np.random.Generator,
     span_words: Tuple[int, int] = (3, 13),
-    sibling_prob: float = 0.5,
+    sibling_prob: float = 0.6,
 ) -> Iterator[Tuple[str, str]]:
     """Pair stream mixing two positive distributions.
 
@@ -125,7 +125,7 @@ def finetune_encoder(
     log_every: int = 20,
     log_fn=None,
     chunks: Optional[Sequence[dict]] = None,
-    sibling_prob: float = 0.5,
+    sibling_prob: float = 0.6,
 ) -> Tuple[SentenceEncoder, List[float]]:
     """Fine-tune in place-ish: returns a NEW SentenceEncoder holding the
     trained params (tokenizer shared) plus the loss history.
