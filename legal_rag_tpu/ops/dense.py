@@ -311,6 +311,11 @@ def _segmax_kernel(
 # i.e. > _TIE_OVERSAMPLE duplicate documents with identical scores.
 _TIE_OVERSAMPLE = 64
 
+# Segment count above which phase 2 uses the two-level (super-segment)
+# select instead of a flat lax.top_k over [Q, n_segs]. Tests lower this
+# to exercise the two-level branch on small corpora.
+_TWO_LEVEL_MIN_SEGS = 16384
+
 
 @functools.partial(
     jax.jit,
@@ -393,8 +398,49 @@ def dense_topk_twophase(
     )(nv, queries_p, docs_p)
 
     # phase 2: segment selection (+ tie oversample), gather, rescore
-    kk = min(k + _TIE_OVERSAMPLE, nb * segs_per_block)
-    _, seg_pos = jax.lax.top_k(seg_m, kk)                       # [Qp, kk]
+    n_segs = nb * segs_per_block
+    kk = min(k + _TIE_OVERSAMPLE, n_segs)
+    if (
+        n_segs >= _TWO_LEVEL_MIN_SEGS
+        and n_segs % 128 == 0
+        and n_segs // 128 >= kk
+    ):
+        # Two-level exact select (the round-3 roofline finding: a flat
+        # lax.top_k over [Q, N/seg_rows] costs 1.9 ms at 1M docs —
+        # twice phase 1 itself — because XLA's top_k is O(k·width) VPU
+        # work). Level 1 reduces 128 segments to one super-segment max
+        # and top-k's the [Q, n_segs/128] supers; level 2 gathers the
+        # chosen supers' member segments and top-k's those. Exactness:
+        # the j-th-ranked segment has at most j-1 segments strictly
+        # above it, hence at most j-1 supers with a strictly larger
+        # max, so every top-kk segment lives in a top-kk super; exact
+        # boundary TIES can displace supers, the same >_TIE_OVERSAMPLE
+        # duplicate-score contract the flat select already has.
+        n_sup = n_segs // 128                   # n_segs is a multiple
+        s3 = seg_m.reshape(qp, n_sup, 128)
+        m2 = jnp.max(s3, axis=2)
+        _, sup = jax.lax.top_k(m2, kk)                          # [Qp, kk]
+        # member-segment values via one-hot einsum, NOT take_along_axis:
+        # an XLA TPU gather at [Q, kk*128] volume measured 6.4 ms —
+        # slower than the flat top_k it replaces — while the batched
+        # one-hot matmul is MXU work (the same gather-free construction
+        # as the PQ candidate rescore, ops/pq.py). Extraction is exact:
+        # one-hot rows select a single segment value per output lane.
+        onehot = (
+            sup[:, :, None] == jnp.arange(n_sup)[None, None, :]
+        ).astype(jnp.float32)                                   # [Qp,kk,S']
+        vals = jnp.einsum(
+            "qjs,qsl->qjl", onehot, s3,
+            precision=jax.lax.Precision.HIGHEST,
+        ).reshape(qp, kk * 128)
+        member = (
+            sup[:, :, None] * 128
+            + jax.lax.broadcasted_iota(jnp.int32, (qp, kk, 128), 2)
+        ).reshape(qp, kk * 128)
+        _, pos = jax.lax.top_k(vals, kk)
+        seg_pos = jnp.take_along_axis(member, pos, axis=1)      # [Qp, kk]
+    else:
+        _, seg_pos = jax.lax.top_k(seg_m, kk)                   # [Qp, kk]
     block_idx = seg_pos // segs_per_block
     rem = seg_pos % segs_per_block
     g_idx = rem // 128

@@ -24,6 +24,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from legal_rag_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache(os.path.expanduser("~/.cache/legal_rag_roofline"))
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -38,21 +42,37 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def slope(fn, r1=4, r2=24):
-    """fn(i) -> array; returns per-iteration seconds."""
-    def loop(r):
+def slope(fn, *ops, r1=4, r2=24):
+    """fn(i, *ops) -> array; returns per-iteration seconds.
+
+    ``ops`` (the big device arrays) are passed as jit ARGUMENTS, not
+    captured in the closure: a closed-over 768 MB array becomes a
+    constant in the lowered computation, and serializing it into the
+    remote-compile request kills the relay (broken pipe — the failure
+    mode that ate two roofline runs).
+    """
+    def loop(r, *ops):
         def step(i, acc):
-            return acc + fn(i).astype(jnp.float32)
+            return acc + fn(i, *ops).astype(jnp.float32)
         return jax.lax.fori_loop(0, r, step, jnp.float32(0.0))
 
     j = jax.jit(loop)
-    float(j(1))
+    for attempt in range(3):
+        try:
+            float(j(1, *ops))
+            break
+        except Exception as e:  # noqa: BLE001 — relay transport flake
+            if attempt == 2 or "transport" not in str(e).lower():
+                raise
+            log(f"  compile transport error, retrying in 30s: "
+                f"{str(e)[:80]}")
+            time.sleep(30)
 
     def timed(r):
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            float(j(r))
+            float(j(r, *ops))
             best = min(best, time.perf_counter() - t0)
         return best
 
@@ -71,6 +91,8 @@ def main():
     del docs
     gb = N * D * 2 / 1e9
 
+    only_p2 = os.environ.get("EXP_ONLY_P2") == "1"
+
     # ---- 1. raw stream ceiling
     def stream_kernel(d_ref, o_ref):
         j = pl.program_id(0)
@@ -80,11 +102,11 @@ def main():
             o_ref[:] = jnp.zeros_like(o_ref)
         o_ref[:] += jnp.max(d_ref[:].astype(jnp.float32))
 
-    for bn in (4096, 8192, 16384, 32768):
+    for bn in () if only_p2 else (4096, 8192, 16384, 32768):
         np_ = -(-N // bn) * bn
         dpad = jnp.pad(dt16, ((0, 0), (0, np_ - N)))
 
-        def run(i, bn=bn, dpad=dpad, np_=np_):
+        def run(i, dpad, bn=bn, np_=np_):
             return pl.pallas_call(
                 stream_kernel,
                 grid=(np_ // bn,),
@@ -93,8 +115,11 @@ def main():
                 out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
             )(dpad + i.astype(jnp.bfloat16) * 0).sum()
 
-        dt = slope(run)
-        log(f"stream bn={bn:6d}: {dt*1e3:6.2f} ms  ({gb/dt:5.0f} GB/s)")
+        try:
+            dt = slope(run, dpad)
+            log(f"stream bn={bn:6d}: {dt*1e3:6.2f} ms  ({gb/dt:5.0f} GB/s)")
+        except Exception as e:  # noqa: BLE001 — VMEM OOM at big blocks
+            log(f"stream bn={bn}: FAIL {type(e).__name__}: {str(e)[:120]}")
 
     # ---- 2. matmul + row-max only (no segment structure)
     def mm_kernel(q_ref, d_ref, o_ref):
@@ -102,11 +127,11 @@ def main():
                     preferred_element_type=jnp.float32)
         o_ref[:] = jnp.max(s, axis=1, keepdims=True)
 
-    for bn in (8192, 16384, 32768):
+    for bn in () if only_p2 else (8192, 16384, 32768):
         np_ = -(-N // bn) * bn
         dpad = jnp.pad(dt16, ((0, 0), (0, np_ - N)))
 
-        def run(i, bn=bn, dpad=dpad, np_=np_):
+        def run(i, dpad, q16, bn=bn, np_=np_):
             return pl.pallas_call(
                 mm_kernel,
                 grid=(np_ // bn,),
@@ -118,8 +143,11 @@ def main():
                 out_shape=jax.ShapeDtypeStruct((Q, 1), jnp.float32),
             )(q16 * (1 + i.astype(jnp.bfloat16) * 0), dpad).sum()
 
-        dt = slope(run)
-        log(f"matmul bn={bn:6d}: {dt*1e3:6.2f} ms  ({gb/dt:5.0f} GB/s)")
+        try:
+            dt = slope(run, dpad, q16)
+            log(f"matmul bn={bn:6d}: {dt*1e3:6.2f} ms  ({gb/dt:5.0f} GB/s)")
+        except Exception as e:  # noqa: BLE001 — VMEM OOM at big blocks
+            log(f"matmul bn={bn}: FAIL {type(e).__name__}: {str(e)[:120]}")
 
     # ---- 3. segmax (shipped phase 1) + variants
     from legal_rag_tpu.ops.dense import _segmax_kernel
@@ -143,7 +171,7 @@ def main():
         if params:
             kwargs["compiler_params"] = pltpu.CompilerParams(**params)
 
-        def run(i):
+        def run(i, dpad, q16, nv):
             return pl.pallas_call(
                 kernel,
                 grid=(1, nb),
@@ -157,10 +185,11 @@ def main():
                 **kwargs,
             )(nv, q16 * (1 + i.astype(jnp.bfloat16) * 0), dpad).sum()
 
-        return slope(run)
+        return slope(run, dpad, q16, nv)
 
-    for bn, sr in ((8192, 8), (16384, 8), (16384, 16), (32768, 8),
-                   (32768, 16), (32768, 32)):
+    for bn, sr in () if only_p2 else (
+            (8192, 8), (16384, 8), (16384, 16), (32768, 8),
+            (32768, 16), (32768, 32)):
         try:
             dt = segmax_run(bn, sr)
             log(f"segmax bn={bn:6d} sr={sr:2d}: {dt*1e3:6.2f} ms "
@@ -169,7 +198,8 @@ def main():
             log(f"segmax bn={bn} sr={sr}: FAIL {type(e).__name__}: "
                 f"{str(e)[:120]}")
 
-    for dims in (("parallel", "arbitrary"), ("arbitrary", "arbitrary")):
+    for dims in () if only_p2 else (
+            ("parallel", "arbitrary"), ("arbitrary", "arbitrary")):
         try:
             dt = segmax_run(16384, 8, dims=dims)
             log(f"segmax bn=16384 sr=8 dims={dims}: {dt*1e3:6.2f} ms "
@@ -177,12 +207,13 @@ def main():
         except Exception as e:  # noqa: BLE001
             log(f"segmax dims={dims}: FAIL {type(e).__name__}: "
                 f"{str(e)[:120]}")
-    try:
-        dt = segmax_run(16384, 8, vmem=100 * 1024 * 1024)
-        log(f"segmax bn=16384 sr=8 vmem=100MB: {dt*1e3:6.2f} ms "
-            f"({gb/dt:5.0f} GB/s)")
-    except Exception as e:  # noqa: BLE001
-        log(f"segmax vmem: FAIL {type(e).__name__}: {str(e)[:120]}")
+    if not only_p2:
+        try:
+            dt = segmax_run(16384, 8, vmem=100 * 1024 * 1024)
+            log(f"segmax bn=16384 sr=8 vmem=100MB: {dt*1e3:6.2f} ms "
+                f"({gb/dt:5.0f} GB/s)")
+        except Exception as e:  # noqa: BLE001
+            log(f"segmax vmem: FAIL {type(e).__name__}: {str(e)[:120]}")
 
     # ---- 4. phase-2 pieces at sr=8 (width 125k)
     width = N // SR
@@ -190,41 +221,87 @@ def main():
         rng.standard_normal((Q, width)).astype(np.float32))
     kk = K + 64
 
-    dt = slope(lambda i: jax.lax.top_k(segm + i * 0.0, kk)[0].sum())
+    dt = slope(lambda i, segm: jax.lax.top_k(segm + i * 0.0, kk)[0].sum(),
+               segm)
     log(f"p2 top_k [{Q},{width}] kk={kk}: {dt*1e3:6.2f} ms")
 
-    dt = slope(lambda i: jax.lax.approx_max_k(segm + i * 0.0, kk)[0].sum())
+    dt = slope(
+        lambda i, segm: jax.lax.approx_max_k(segm + i * 0.0, kk)[0].sum(),
+        segm)
     log(f"p2 approx_max_k:              {dt*1e3:6.2f} ms")
 
-    # hierarchical: reduce 128x then top_k over [Q, width/128]
-    def hier(i):
-        m2 = jnp.max((segm + i * 0.0).reshape(Q, width // 128, 128), axis=2)
+    # hierarchical: reduce 128x then top_k over [Q, ceil(width/128)]
+    wpad = -(-width // 128) * 128
+    nsup = wpad // 128
+
+    def hier(i, segm):
+        sp = jnp.pad(segm + i * 0.0, ((0, 0), (0, wpad - width)),
+                     constant_values=-np.inf)
+        m2 = jnp.max(sp.reshape(Q, nsup, 128), axis=2)
         s, idx = jax.lax.top_k(m2, kk)
         return s.sum() + idx.sum().astype(jnp.float32)
 
-    dt = slope(hier)
-    log(f"p2 hier max128+top_k [{Q},{width//128}]: {dt*1e3:6.2f} ms")
+    dt = slope(hier, segm)
+    log(f"p2 hier max128+top_k [{Q},{nsup}]: {dt*1e3:6.2f} ms")
+
+    # full exact two-level select: super top-k, gather member segments,
+    # refine top-k over [Q, kk*128]
+    def hier2(i, segm):
+        sp = jnp.pad(segm + i * 0.0, ((0, 0), (0, wpad - width)),
+                     constant_values=-np.inf)
+        m2 = jnp.max(sp.reshape(Q, nsup, 128), axis=2)
+        _, sup = jax.lax.top_k(m2, kk)                   # [Q, kk]
+        segidx = sup[:, :, None] * 128 + jnp.arange(128)[None, None, :]
+        vals = jnp.take_along_axis(
+            sp, segidx.reshape(Q, kk * 128), axis=1)     # [Q, kk*128]
+        s, pos = jax.lax.top_k(vals, kk)
+        return s.sum() + pos.sum().astype(jnp.float32)
+
+    dt = slope(hier2, segm)
+    log(f"p2 two-level select kk={kk}: {dt*1e3:6.2f} ms")
+
+    # gather-free variant: member values via one-hot einsum (the PQ
+    # decode trick — XLA TPU gathers at [Q, kk*128] volume are slow)
+    def hier3(i, segm):
+        # finite pad: 0 * -inf = NaN under the one-hot einsum
+        sp = jnp.pad(segm + i * 0.0, ((0, 0), (0, wpad - width)),
+                     constant_values=-1e30)
+        s3 = sp.reshape(Q, nsup, 128)
+        m2 = jnp.max(s3, axis=2)
+        _, sup = jax.lax.top_k(m2, kk)                   # [Q, kk]
+        onehot = (
+            sup[:, :, None] == jnp.arange(nsup)[None, None, :]
+        ).astype(jnp.float32)                            # [Q, kk, nsup]
+        vals = jnp.einsum(
+            "qjs,qsl->qjl", onehot, s3,
+            precision=jax.lax.Precision.HIGHEST,
+        ).reshape(Q, kk * 128)
+        s, pos = jax.lax.top_k(vals, kk)
+        return s.sum() + pos.sum().astype(jnp.float32)
+
+    dt = slope(hier3, segm)
+    log(f"p2 two-level one-hot kk={kk}: {dt*1e3:6.2f} ms")
 
     # member gather: [Q, kk*SR] ids from docs_t [D, N]
     ids = jnp.asarray(
         rng.integers(0, N, (Q, kk * SR)).astype(np.int32))
 
-    def gath(i):
+    def gath(i, dt16, ids, q16):
         g = jnp.take(dt16, ids + i * 0, axis=1)     # [D, Q, kk*SR]
         s = jnp.einsum("qd,dqc->qc", q16.astype(jnp.float32),
                        g.astype(jnp.float32))
         return s.sum()
 
-    dt = slope(gath)
+    dt = slope(gath, dt16, ids, q16)
     log(f"p2 gather+rescore [{Q},{kk*SR}] cols: {dt*1e3:6.2f} ms")
 
     # segment-maxima gather via take_along_axis (hier stage 2)
     sids = jnp.asarray(rng.integers(0, width, (Q, kk)).astype(np.int32))
 
-    def seg_gather(i):
+    def seg_gather(i, segm, sids):
         return jnp.take_along_axis(segm, sids + i * 0, axis=1).sum()
 
-    dt = slope(seg_gather)
+    dt = slope(seg_gather, segm, sids)
     log(f"p2 take_along_axis [{Q},{kk}] of [Q,{width}]: {dt*1e3:6.2f} ms")
 
 

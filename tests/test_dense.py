@@ -202,3 +202,34 @@ def test_twophase_seg_rows_variants(data, seg_rows, block_q):
     )
     np.testing.assert_array_equal(np.asarray(i), g_i)
     np.testing.assert_allclose(np.asarray(s), g_s, rtol=1e-5, atol=1e-6)
+
+
+def test_twophase_two_level_select_matches_golden(monkeypatch):
+    """The large-N two-level (super-segment) phase-2 select is exact:
+    lowering _TWO_LEVEL_MIN_SEGS forces the hierarchical branch on a
+    corpus small enough to verify against the f64 golden, including
+    duplicate-doc boundary ties. (In production the branch engages at
+    >= 16384 segments, i.e. ~131k docs at seg_rows=8 — the roofline
+    finding that flat lax.top_k over [Q, N/sr] was 2x phase 1's cost.)
+    """
+    import legal_rag_tpu.ops.dense as dense_mod
+
+    monkeypatch.setattr(dense_mod, "_TWO_LEVEL_MIN_SEGS", 1)
+    rng = np.random.default_rng(11)
+    n = 9600                      # seg_rows=1 -> 9600 segs, 75 supers
+    docs = rng.standard_normal((n, 32)).astype(np.float32)
+    docs /= np.linalg.norm(docs, axis=1, keepdims=True)
+    docs[500] = docs[7000] = docs[9100]      # exact ties across supers
+    queries = np.concatenate(
+        [docs[9100:9101] * 1.2,
+         rng.standard_normal((3, 32)).astype(np.float32)]
+    ).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+
+    s, i = dense_mod.dense_topk_twophase(
+        jnp.asarray(queries), jnp.asarray(docs.T), 10,
+        block_n=128, block_q=8, seg_rows=1, interpret=True,
+    )
+    assert_topk_equiv(queries, docs, 10, s, i)
+    # the three duplicates tie exactly at the top: ascending-id order
+    assert list(np.asarray(i)[0][:3]) == [500, 7000, 9100]
