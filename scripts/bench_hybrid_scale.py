@@ -161,17 +161,24 @@ def main():
     ):
         d_pid, d_pw = jnp.asarray(pid), jnp.asarray(pw)
 
-        def loop(r, d_pid=d_pid, d_pw=d_pw):
+        # big operands are jit ARGUMENTS, not closure captures: a
+        # closed-over 768 MB array becomes a constant in the lowered
+        # computation and kills the remote-compile relay (broken pipe)
+        def loop(r, docs_t, d_pid, d_pw, d_q, d_w):
             def step(i, acc):
                 qq = d_q * (1.0 + i.astype(jnp.float32) * 1e-30)
                 f, ids, _, _ = sharded_hybrid_search(
-                    sidx.docs_t, d_pid, d_pw, qq, d_w,
+                    docs_t, d_pid, d_pw, qq, d_w,
                     mesh=mesh, k=K, c=2 * K, n_docs=N, mode="weighted",
                 )
                 return acc + f.sum() + ids.sum().astype(jnp.float32)
             return jax.lax.fori_loop(0, r, step, jnp.float32(0.0))
 
-        j = jax.jit(loop)
+        jj = jax.jit(loop)
+
+        def j(r):
+            return jj(r, sidx.docs_t, d_pid, d_pw, d_q, d_w)
+
         t0 = time.time()
         float(j(1))
         log(f"{name}: compiled ({time.time()-t0:.0f}s)")

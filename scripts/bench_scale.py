@@ -22,6 +22,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from legal_rag_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache(os.path.expanduser("~/.cache/legal_rag_roofline"))
+
 import jax
 import jax.numpy as jnp
 
@@ -36,25 +40,37 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def wall(fn, *args):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
-    return best, out
+def slope(make_fn, q, d, r1=4, r2=24):
+    """Per-iteration device time: r reps inside ONE jitted fori_loop,
+    HOST-FETCH synced (block_until_ready can return early on this
+    relay — the round-2 fake-sync artifact), constant dispatch
+    overhead cancelled by (t(r2)-t(r1))/(r2-r1). Operands are jit
+    ARGUMENTS, never closure captures (a closed-over 768 MB constant
+    kills the remote-compile relay)."""
+    def loop(r, q, d):
+        def step(i, acc):
+            qq = q * (1.0 + i.astype(q.dtype) * 0)
+            s, ids = make_fn(qq, d)
+            return acc + s.sum().astype(jnp.float32) + ids.sum().astype(
+                jnp.float32)
+        return jax.lax.fori_loop(0, r, step, jnp.float32(0.0))
 
+    j = jax.jit(loop)
+    t0 = time.perf_counter()
+    float(j(1, q, d))
+    t_compile = time.perf_counter() - t0
 
-def slope(make_fn, qstack1, qstackR):
-    """Per-iteration device time via the in-program loop."""
-    fn1 = jax.jit(lambda qs, d: jax.lax.map(lambda q: make_fn(q, d), qs))
-    t1, out1 = wall(fn1, qstack1[0], qstack1[1])
-    tR, outR = wall(fn1, qstackR[0], qstackR[1])
-    n1, nR = qstack1[0].shape[0], qstackR[0].shape[0]
-    return (tR - t1) / (nR - n1), t1, out1
+    def timed(r):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(j(r, q, d))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    dt = (timed(r2) - timed(r1)) / (r2 - r1)
+    out = jax.jit(make_fn)(q, d)
+    return dt, t_compile, out
 
 
 def recall(ids, ref_ids):
@@ -87,12 +103,10 @@ def main():
         s, i = jax.lax.top_k(scores, K)
         return s, i.astype(jnp.int32)
 
-    dt, t1, out = slope(
-        xla_one, (q16[:1], d_docs16), (q16, d_docs16)
-    )
-    ref_ids = np.asarray(out[1][0])
+    dt, tc, out = slope(xla_one, q16[0], d_docs16)
+    ref_ids = np.asarray(out[1])
     log(f"xla bf16:      {dt*1e3:7.2f} ms/iter device "
-        f"({gbytes/dt:5.0f} GB/s eff)  [1-iter wall {t1*1e3:.1f} ms]")
+        f"({gbytes/dt:5.0f} GB/s eff)  [compile {tc:.0f}s]")
     results = {"xla_bf16": dt}
 
     for block_n, block_q, seg_rows in (
@@ -108,13 +122,11 @@ def main():
                     precision=jax.lax.Precision.DEFAULT,
                 )
 
-            dt, t1, out = slope(
-                tp_one, (q16[:1], d_docs_t16), (q16, d_docs_t16)
-            )
-            r = recall(out[1][0], ref_ids)
+            dt, tc, out = slope(tp_one, q16[0], d_docs_t16)
+            r = recall(out[1], ref_ids)
             log(f"{name}: {dt*1e3:7.2f} ms/iter device "
                 f"({gbytes/dt:5.0f} GB/s eff)  recall={r:.4f} "
-                f"[1-iter wall {t1*1e3:.1f} ms]")
+                f"[compile {tc:.0f}s]")
             results[name] = dt
         except Exception as e:  # noqa: BLE001
             log(f"{name}: FAILED {type(e).__name__}: {str(e)[:160]}")
