@@ -92,6 +92,97 @@ def main():
     gb = N * D * 2 / 1e9
 
     only_p2 = os.environ.get("EXP_ONLY_P2") == "1"
+    sections = os.environ.get("EXP_SECTIONS", "xla,stream,matmul,segmax,p2")
+    if only_p2:
+        sections = "p2"
+    sections = set(sections.split(","))
+
+    # ---- 0. XLA-only variants: decompose XLA's 3.88 ms.
+    # dot+top_k is the production dispatch; top_k on [Q, 1M] is an
+    # O(k*N) VPU pass suspected of costing ~half the total. The
+    # two-phase select (segment max via reshape + two-level one-hot
+    # refine) replaces it with two narrow top_ks.
+    if "xla" in sections:
+        kk = K + 64
+        npad = -(-N // (SR * 128)) * (SR * 128)
+        dxp = jnp.pad(dt16, ((0, 0), (0, npad - N)))
+        nseg = npad // SR
+        wpad2 = -(-nseg // 128) * 128
+        nsup2 = wpad2 // 128
+
+        def prep(i, q16):
+            return q16 * (1 + i.astype(jnp.bfloat16) * 0)
+
+        def xla_dot_topk(i, q16, dxp):
+            s = jnp.dot(prep(i, q16), dxp,
+                        preferred_element_type=jnp.float32)
+            v, idx = jax.lax.top_k(s, K)
+            return v.sum() + idx.sum().astype(jnp.float32)
+
+        def xla_dot_sum(i, q16, dxp):
+            s = jnp.dot(prep(i, q16), dxp,
+                        preferred_element_type=jnp.float32)
+            return s.sum()
+
+        def xla_dot_segmax(i, q16, dxp):
+            s = jnp.dot(prep(i, q16), dxp,
+                        preferred_element_type=jnp.float32)
+            return jnp.max(s.reshape(Q, nseg, SR), axis=2).sum()
+
+        def xla_two_phase(i, q16, dxp, out_dtype=jnp.float32):
+            s = jnp.dot(prep(i, q16), dxp,
+                        preferred_element_type=out_dtype)
+            m = jnp.max(s.reshape(Q, nseg, SR), axis=2)      # [Q, nseg]
+            mp = jnp.pad(m.astype(jnp.float32),
+                         ((0, 0), (0, wpad2 - nseg)),
+                         constant_values=-1e30)
+            m3 = mp.reshape(Q, nsup2, 128)
+            m2 = jnp.max(m3, axis=2)
+            _, sup = jax.lax.top_k(m2, kk)                   # [Q, kk]
+            onehot = (
+                sup[:, :, None] == jnp.arange(nsup2)[None, None, :]
+            ).astype(jnp.float32)
+            segv = jnp.einsum(
+                "qjs,qsl->qjl", onehot, m3,
+                precision=jax.lax.Precision.HIGHEST,
+            ).reshape(Q, kk * 128)                           # seg maxima
+            sv, spos = jax.lax.top_k(segv, kk)               # top kk segs
+            # refine: the full score matrix s is already materialized,
+            # so the member refine is a small take_along_axis from it
+            seg_id = (sup[:, :, None] * 128
+                      + jnp.arange(128)[None, None, :]).reshape(Q, kk * 128)
+            top_seg = jnp.take_along_axis(seg_id, spos, axis=1)  # [Q, kk]
+            mem_ids = (
+                top_seg[:, :, None] * SR
+                + jnp.arange(SR)[None, None, :]
+            ).reshape(Q, kk * SR)
+            mem = jnp.take_along_axis(
+                s.reshape(Q, npad), mem_ids, axis=1
+            ).astype(jnp.float32)
+            v, pos = jax.lax.top_k(mem, K)
+            ids = jnp.take_along_axis(mem_ids, pos, axis=1)
+            return v.sum() + ids.sum().astype(jnp.float32)
+
+        def xla_dot_approx(i, q16, dxp):
+            s = jnp.dot(prep(i, q16), dxp,
+                        preferred_element_type=jnp.float32)
+            v, idx = jax.lax.approx_max_k(s, kk)
+            return v.sum() + idx.sum().astype(jnp.float32)
+
+        for name, fn in (
+            ("dot+top_k (prod)", xla_dot_topk),
+            ("dot+sum   (floor)", xla_dot_sum),
+            ("dot+segmax reduce", xla_dot_segmax),
+            ("dot+two-phase f32", xla_two_phase),
+            ("dot+two-phase bf16 scores",
+             functools.partial(xla_two_phase, out_dtype=jnp.bfloat16)),
+            ("dot+approx_max_k", xla_dot_approx),
+        ):
+            try:
+                dt = slope(fn, q16, dxp)
+                log(f"xla {name}: {dt*1e3:6.2f} ms  ({gb/dt:5.0f} GB/s)")
+            except Exception as e:  # noqa: BLE001
+                log(f"xla {name}: FAIL {type(e).__name__}: {str(e)[:140]}")
 
     # ---- 1. raw stream ceiling
     def stream_kernel(d_ref, o_ref):
@@ -102,7 +193,10 @@ def main():
             o_ref[:] = jnp.zeros_like(o_ref)
         o_ref[:] += jnp.max(d_ref[:].astype(jnp.float32))
 
-    for bn in () if only_p2 else (4096, 8192, 16384, 32768):
+    _VMEM = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+    for bn in () if "stream" not in sections else (
+            8192, 16384, 32768, 65536):
         np_ = -(-N // bn) * bn
         dpad = jnp.pad(dt16, ((0, 0), (0, np_ - N)))
 
@@ -113,6 +207,7 @@ def main():
                 in_specs=[pl.BlockSpec((D, bn), lambda j: (0, j))],
                 out_specs=pl.BlockSpec((1, 1), lambda j: (0, 0)),
                 out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+                compiler_params=_VMEM,
             )(dpad + i.astype(jnp.bfloat16) * 0).sum()
 
         try:
@@ -127,7 +222,7 @@ def main():
                     preferred_element_type=jnp.float32)
         o_ref[:] = jnp.max(s, axis=1, keepdims=True)
 
-    for bn in () if only_p2 else (8192, 16384, 32768):
+    for bn in () if "matmul" not in sections else (8192, 16384, 32768):
         np_ = -(-N // bn) * bn
         dpad = jnp.pad(dt16, ((0, 0), (0, np_ - N)))
 
@@ -141,6 +236,7 @@ def main():
                 ],
                 out_specs=pl.BlockSpec((Q, 1), lambda j: (0, 0)),
                 out_shape=jax.ShapeDtypeStruct((Q, 1), jnp.float32),
+                compiler_params=_VMEM,
             )(q16 * (1 + i.astype(jnp.bfloat16) * 0), dpad).sum()
 
         try:
@@ -187,7 +283,7 @@ def main():
 
         return slope(run, dpad, q16, nv)
 
-    for bn, sr in () if only_p2 else (
+    for bn, sr in () if "segmax" not in sections else (
             (8192, 8), (16384, 8), (16384, 16), (32768, 8),
             (32768, 16), (32768, 32)):
         try:
@@ -198,7 +294,7 @@ def main():
             log(f"segmax bn={bn} sr={sr}: FAIL {type(e).__name__}: "
                 f"{str(e)[:120]}")
 
-    for dims in () if only_p2 else (
+    for dims in () if "segmax" not in sections else (
             ("parallel", "arbitrary"), ("arbitrary", "arbitrary")):
         try:
             dt = segmax_run(16384, 8, dims=dims)
@@ -207,7 +303,7 @@ def main():
         except Exception as e:  # noqa: BLE001
             log(f"segmax dims={dims}: FAIL {type(e).__name__}: "
                 f"{str(e)[:120]}")
-    if not only_p2:
+    if "segmax" in sections:
         try:
             dt = segmax_run(16384, 8, vmem=100 * 1024 * 1024)
             log(f"segmax bn=16384 sr=8 vmem=100MB: {dt*1e3:6.2f} ms "
@@ -216,6 +312,8 @@ def main():
             log(f"segmax vmem: FAIL {type(e).__name__}: {str(e)[:120]}")
 
     # ---- 4. phase-2 pieces at sr=8 (width 125k)
+    if "p2" not in sections:
+        return
     width = N // SR
     segm = jnp.asarray(
         rng.standard_normal((Q, width)).astype(np.float32))
