@@ -229,7 +229,7 @@ def main(metrics):
 
     def device_run(use_pallas):
         return sharded_hybrid_search(
-            index.docs_t, d_post_ids, d_post_w, d_q, d_w,
+            index.docs, d_post_ids, d_post_w, d_q, d_w,
             mesh=mesh, k=K, c=2 * K, n_docs=store.n_docs,
             mode="weighted", use_pallas=use_pallas,
         )
@@ -241,7 +241,7 @@ def main(metrics):
 
     def single(use_pallas):
         return sharded_hybrid_search(
-            index.docs_t, sq[1], sq[2], sq[0], sw,
+            index.docs, sq[1], sq[2], sq[0], sw,
             mesh=mesh, k=K, c=2 * K, n_docs=store.n_docs,
             mode="weighted", use_pallas=use_pallas,
         )
@@ -276,7 +276,7 @@ def main(metrics):
                 # the loop; numerically a no-op (1 + i*1e-30 == 1.0)
                 qq = q * (1.0 + i.astype(jnp.float32) * 1e-30)
                 f, ids, _, _ = sharded_hybrid_search(
-                    index.docs_t, pids, pw, qq, w,
+                    index.docs, pids, pw, qq, w,
                     mesh=mesh, k=K, c=2 * K, n_docs=store.n_docs,
                     mode="weighted", use_pallas=use_pallas,
                 )

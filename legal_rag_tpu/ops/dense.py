@@ -317,6 +317,53 @@ _TIE_OVERSAMPLE = 64
 _TWO_LEVEL_MIN_SEGS = 16384
 
 
+def _select_segments(seg_m: jax.Array, kk: int, n_segs: int) -> jax.Array:
+    """Top-``kk`` segment positions per query from ``seg_m [Q, n_segs]``.
+
+    Uses the two-level (super-segment) select above
+    ``_TWO_LEVEL_MIN_SEGS`` (the round-3 roofline finding: a flat
+    ``lax.top_k`` over [Q, N/seg_rows] costs 1.9 ms at 1M docs — twice
+    phase 1 itself — because XLA's top_k is O(k*width) VPU work).
+    Level 1 reduces 128 segments to one super-segment max and top-k's
+    the [Q, n_segs/128] supers; level 2 extracts the chosen supers'
+    member segments via a one-hot einsum (NOT take_along_axis: an XLA
+    TPU gather at [Q, kk*128] volume measured 6.4 ms — slower than the
+    flat top_k it replaces — while the batched one-hot matmul is MXU
+    work, the same gather-free construction as the PQ candidate
+    rescore, ops/pq.py) and top-k's those. Exactness: the j-th-ranked
+    segment has at most j-1 segments strictly above it, hence at most
+    j-1 supers with a strictly larger max, so every top-kk segment
+    lives in a top-kk super; exact boundary TIES can displace supers,
+    the same >_TIE_OVERSAMPLE duplicate-score contract the flat select
+    already has.
+    """
+    q = seg_m.shape[0]
+    if (
+        n_segs >= _TWO_LEVEL_MIN_SEGS
+        and n_segs % 128 == 0
+        and n_segs // 128 >= kk
+    ):
+        n_sup = n_segs // 128
+        s3 = seg_m.reshape(q, n_sup, 128)
+        m2 = jnp.max(s3, axis=2)
+        _, sup = jax.lax.top_k(m2, kk)                          # [Q, kk]
+        onehot = (
+            sup[:, :, None] == jnp.arange(n_sup)[None, None, :]
+        ).astype(jnp.float32)                                   # [Q,kk,S']
+        vals = jnp.einsum(
+            "qjs,qsl->qjl", onehot, s3,
+            precision=jax.lax.Precision.HIGHEST,
+        ).reshape(q, kk * 128)
+        member = (
+            sup[:, :, None] * 128
+            + jax.lax.broadcasted_iota(jnp.int32, (q, kk, 128), 2)
+        ).reshape(q, kk * 128)
+        _, pos = jax.lax.top_k(vals, kk)
+        return jnp.take_along_axis(member, pos, axis=1)         # [Q, kk]
+    _, seg_pos = jax.lax.top_k(seg_m, kk)
+    return seg_pos
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -400,47 +447,7 @@ def dense_topk_twophase(
     # phase 2: segment selection (+ tie oversample), gather, rescore
     n_segs = nb * segs_per_block
     kk = min(k + _TIE_OVERSAMPLE, n_segs)
-    if (
-        n_segs >= _TWO_LEVEL_MIN_SEGS
-        and n_segs % 128 == 0
-        and n_segs // 128 >= kk
-    ):
-        # Two-level exact select (the round-3 roofline finding: a flat
-        # lax.top_k over [Q, N/seg_rows] costs 1.9 ms at 1M docs —
-        # twice phase 1 itself — because XLA's top_k is O(k·width) VPU
-        # work). Level 1 reduces 128 segments to one super-segment max
-        # and top-k's the [Q, n_segs/128] supers; level 2 gathers the
-        # chosen supers' member segments and top-k's those. Exactness:
-        # the j-th-ranked segment has at most j-1 segments strictly
-        # above it, hence at most j-1 supers with a strictly larger
-        # max, so every top-kk segment lives in a top-kk super; exact
-        # boundary TIES can displace supers, the same >_TIE_OVERSAMPLE
-        # duplicate-score contract the flat select already has.
-        n_sup = n_segs // 128                   # n_segs is a multiple
-        s3 = seg_m.reshape(qp, n_sup, 128)
-        m2 = jnp.max(s3, axis=2)
-        _, sup = jax.lax.top_k(m2, kk)                          # [Qp, kk]
-        # member-segment values via one-hot einsum, NOT take_along_axis:
-        # an XLA TPU gather at [Q, kk*128] volume measured 6.4 ms —
-        # slower than the flat top_k it replaces — while the batched
-        # one-hot matmul is MXU work (the same gather-free construction
-        # as the PQ candidate rescore, ops/pq.py). Extraction is exact:
-        # one-hot rows select a single segment value per output lane.
-        onehot = (
-            sup[:, :, None] == jnp.arange(n_sup)[None, None, :]
-        ).astype(jnp.float32)                                   # [Qp,kk,S']
-        vals = jnp.einsum(
-            "qjs,qsl->qjl", onehot, s3,
-            precision=jax.lax.Precision.HIGHEST,
-        ).reshape(qp, kk * 128)
-        member = (
-            sup[:, :, None] * 128
-            + jax.lax.broadcasted_iota(jnp.int32, (qp, kk, 128), 2)
-        ).reshape(qp, kk * 128)
-        _, pos = jax.lax.top_k(vals, kk)
-        seg_pos = jnp.take_along_axis(member, pos, axis=1)      # [Qp, kk]
-    else:
-        _, seg_pos = jax.lax.top_k(seg_m, kk)                   # [Qp, kk]
+    seg_pos = _select_segments(seg_m, kk, n_segs)               # [Qp, kk]
     block_idx = seg_pos // segs_per_block
     rem = seg_pos % segs_per_block
     g_idx = rem // 128
@@ -467,6 +474,146 @@ def dense_topk_twophase(
     scores = jnp.where(cand_flat < limit, scores, -jnp.inf)
 
     # exact (score desc, id asc) ordering via two-key sort
+    neg_s, ids_sorted = jax.lax.sort(
+        (-scores, cand_flat), num_keys=2, dimension=1
+    )
+    return -neg_s[:q, :k], ids_sorted[:q, :k].astype(jnp.int32)
+
+
+def _segmax_rm_kernel(
+    nv_ref, qt_ref, d_ref, m_ref, *, block_n, seg_rows, precision,
+):
+    """Row-major phase 1: [BN, D] doc tile x [D, BQ] queries -> [BN, BQ]
+    scores on the MXU, then max over SUBLANE groups of ``seg_rows``
+    contiguous docs -> [BN/seg_rows, BQ]. Docs-major throughout: the
+    doc matrix streams in its storage layout and phase 2's candidate
+    gather later reads contiguous [D]-rows (the round-3 roofline
+    finding — the column-major [D, N] gather cost 2.8 ms/1M docs in 384
+    strided 2-byte reads per doc, 5x the row gather)."""
+    j = pl.program_id(1)
+    s = jnp.dot(
+        d_ref[:], qt_ref[:],
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + j * block_n
+    s = jnp.where(row < nv_ref[0], s, _NEG_F32)
+    bn, bq = s.shape
+    m_ref[:] = jnp.max(s.reshape(bn // seg_rows, seg_rows, bq), axis=1)
+
+
+# Per-shard doc count at which the row-major two-phase kernel becomes
+# the dense dispatch (slope-measured on v5e vs XLA dot+top_k; see
+# BASELINE.md scale table). Shards must be 8192-row aligned for the
+# no-copy path (ShardedIndex.from_embeddings aligns automatically).
+TWOPHASE_MIN_DOCS = 262144
+
+# Row-block alignment the row-major kernel wants so no in-jit pad copy
+# of the doc matrix happens (measured +2.3 ms/1M docs when it does).
+TWOPHASE_BLOCK_N = 8192
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "block_n", "block_q", "seg_rows", "interpret", "precision",
+    ),
+)
+def dense_topk_twophase_rm(
+    queries: jax.Array,
+    docs: jax.Array,
+    k: int,
+    *,
+    n_valid: "Optional[jax.Array]" = None,
+    block_n: int = TWOPHASE_BLOCK_N,
+    block_q: int = 64,
+    seg_rows: int = 8,
+    interpret: bool = False,
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
+) -> Tuple[jax.Array, jax.Array]:
+    """Row-major large-N exact top-k: the production dense backend at
+    scale (slope-measured 2.2 ms vs XLA dot+top_k's 3.9 ms per
+    batch-64 at 1M docs on v5e — BASELINE.md round-3 scale table).
+
+    Same two-phase structure as :func:`dense_topk_twophase` but with
+    docs stored ``[N, D]`` (row-major), which buys two things the
+    column-major variant measured dearly for:
+
+    - phase 1 streams ``[BN, D]`` doc tiles as the matmul LHS — no
+      transposed copy of the index is ever built or padded in-jit;
+    - phase 2's candidate gather reads each candidate as ONE contiguous
+      768 B row instead of 384 strided 2-byte column elements (2.8 ms
+      -> 0.5 ms at 1M docs).
+
+    A segment is ``seg_rows`` CONTIGUOUS docs (row-major), so member
+    doc ids are ``seg_pos*seg_rows + iota`` — pure index arithmetic.
+    Semantics identical to every other backend: exact scores via the
+    fp32 rescore of the selected segments' members, (score desc, id
+    asc) final order, ``n_valid`` masking for mesh callers. Tie
+    contract: exact when < ``_TIE_OVERSAMPLE`` segments tie exactly at
+    the selection boundary (the rescore then orders exactly).
+    """
+    q, d = queries.shape
+    n, d2 = docs.shape
+    assert d == d2, f"dim mismatch {d} vs {d2}"
+    assert block_n % (seg_rows * 128) == 0, (
+        f"block_n {block_n} must be a multiple of seg_rows*128 "
+        f"({seg_rows * 128})"
+    )
+    qp = -(-q // block_q) * block_q
+    bq = min(block_q, qp)
+    np_ = -(-n // block_n) * block_n
+    queries_p = _pad_to(queries, qp, 0)
+    docs_p = _pad_to(docs, np_, 0)   # no-op when the caller pre-aligned
+    qt = queries_p.T                 # [D, Qp] — queries are tiny
+    nb = np_ // block_n
+    segs_per_block = block_n // seg_rows
+
+    nv = jnp.reshape(
+        jnp.asarray(n if n_valid is None else n_valid, jnp.int32), (1,)
+    )
+    kernel = functools.partial(
+        _segmax_rm_kernel, block_n=block_n, seg_rows=seg_rows,
+        precision=precision,
+    )
+    seg_m_t = pl.pallas_call(
+        kernel,
+        grid=(qp // bq, nb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((d, bq), lambda i, j: (0, i)),
+            pl.BlockSpec((block_n, d), lambda i, j: (j, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (segs_per_block, bq), lambda i, j: (j, i)
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (nb * segs_per_block, qp), jnp.float32
+        ),
+        interpret=interpret,
+    )(nv, qt, docs_p)
+
+    # phase 2: transpose to query-major, select segments, row-gather
+    n_segs = nb * segs_per_block
+    kk = min(k + _TIE_OVERSAMPLE, n_segs)
+    seg_pos = _select_segments(seg_m_t.T, kk, n_segs)           # [Qp, kk]
+
+    # contiguous members: segment s = docs [s*seg_rows, (s+1)*seg_rows)
+    cand_ids = (
+        seg_pos[:, :, None] * seg_rows
+        + jax.lax.broadcasted_iota(jnp.int32, (qp, kk, seg_rows), 2)
+    )
+    cand_flat = cand_ids.reshape(qp, kk * seg_rows)
+    cand_safe = jnp.clip(cand_flat, 0, np_ - 1)
+
+    gathered = jnp.take(docs_p, cand_safe, axis=0)              # [Qp, C, D]
+    scores = jnp.einsum(
+        "qd,qcd->qc", queries_p.astype(jnp.float32),
+        gathered.astype(jnp.float32),
+        precision=precision,
+    )
+    limit = jnp.minimum(jnp.int32(n), nv[0])
+    scores = jnp.where(cand_flat < limit, scores, -jnp.inf)
+
     neg_s, ids_sorted = jax.lax.sort(
         (-scores, cand_flat), num_keys=2, dimension=1
     )

@@ -35,18 +35,31 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from legal_rag_tpu.ops.dense import (
-    LARGE_N_THRESHOLD, _SCORE_MATRIX_BUDGET_BYTES, dense_topk_twophase,
+    LARGE_N_THRESHOLD, TWOPHASE_BLOCK_N, TWOPHASE_MIN_DOCS,
+    _SCORE_MATRIX_BUDGET_BYTES, dense_topk_twophase_rm,
 )
 from legal_rag_tpu.ops.fusion import rrf_fusion
 
 AXIS = "shard"
 
 
+def _dot_nd(q, docs, precision):
+    """``[Q, D] x [N, D] -> [Q, N]`` contracting on D — the row-major
+    doc layout feeds the MXU directly (no transposed index copy)."""
+    return jax.lax.dot_general(
+        q, docs, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32
+        if q.dtype != jnp.int8 else jnp.int32,
+        precision=precision,
+    )
+
+
 def _local_dense_topc(
-    q, docs_t_local, base, n_docs, c, precision, use_pallas,
+    q, docs_local, base, n_docs, c, precision, use_pallas,
     block_n=1024, block_q=8, doc_scales=None,
 ):
     """Local [Q, C] dense candidates with global ids; padding masked.
+    ``docs_local`` is the shard's ``[n_local, D]`` row slice.
 
     bfloat16 doc shards: queries cast to bf16, single MXU pass.
     int8 doc shards: queries quantize per-row symmetric, the matmul
@@ -54,15 +67,14 @@ def _local_dense_topc(
     dequantize the accumulator. fp32 keeps the requested (parity)
     precision.
     """
-    if docs_t_local.dtype == jnp.int8:
+    n_local_w = docs_local.shape[0]
+    if docs_local.dtype == jnp.int8:
         q_scale = jnp.max(jnp.abs(q), axis=1) / 127.0          # [Q]
         q_scale = jnp.where(q_scale == 0, 1.0, q_scale)
         q_i8 = jnp.clip(
             jnp.round(q / q_scale[:, None]), -127, 127
         ).astype(jnp.int8)
-        acc = jnp.dot(
-            q_i8, docs_t_local, preferred_element_type=jnp.int32
-        )
+        acc = _dot_nd(q_i8, docs_local, jax.lax.Precision.DEFAULT)
         scores = (
             acc.astype(jnp.float32)
             * q_scale[:, None]
@@ -72,33 +84,42 @@ def _local_dense_topc(
         scores = jnp.where(col < n_docs, scores, -jnp.inf)
         s, i = _topk_padded(scores, c)
         return s, jnp.where(i >= 0, i + base, i)
-    if docs_t_local.dtype == jnp.bfloat16:
+    if docs_local.dtype == jnp.bfloat16:
         q = q.astype(jnp.bfloat16)
         precision = jax.lax.Precision.DEFAULT
-    # Dispatch policy (slope-measured on v5e, round 2 — see BASELINE.md
-    # "backend shootout"): XLA's dot+top_k wins at EVERY corpus size
-    # (fused running-top-k kernel: 2.7x slower at N=2.7k, 11x at 65k;
+    # Dispatch policy (slope-measured on v5e — BASELINE.md scale
+    # tables): XLA's dot+top_k wins at small/medium shards (the fused
+    # running-top-k kernel's O(k*N) VPU selection loses everywhere;
     # round 1's "2x pallas win at small N" was a relay measurement
-    # artifact). ``use_pallas`` is therefore ignored for the dense
-    # top-C — the fused kernel stays available as an explicit opt-in
-    # via ops.dense.dense_topk — EXCEPT when the [Q, N_local] score
-    # matrix would blow the HBM budget, where the two-phase segment-max
-    # kernel (16x smaller intermediate at seg_rows=16) takes over.
+    # artifact), but from TWOPHASE_MIN_DOCS docs/shard the row-major
+    # two-phase segment-max kernel takes over (2.2 ms vs XLA's 3.9 ms
+    # per batch-64 at 1M docs — it never materializes the [Q, N] score
+    # matrix XLA writes AND reads back). The score-matrix HBM budget
+    # keeps the large-Q case on the two-phase path regardless of
+    # alignment. ``use_pallas`` is ignored — the fused kernel stays an
+    # explicit opt-in via ops.dense.dense_topk.
     del use_pallas
-    n_local_w = docs_t_local.shape[1]
-    if q.shape[0] * n_local_w * 4 > _SCORE_MATRIX_BUDGET_BYTES:
+    aligned = n_local_w % TWOPHASE_BLOCK_N == 0
+    if (n_local_w >= TWOPHASE_MIN_DOCS and aligned) or (
+        q.shape[0] * n_local_w * 4 > _SCORE_MATRIX_BUDGET_BYTES
+    ):
         n_valid = jnp.clip(n_docs - base, 0, n_local_w)
-        s, i = dense_topk_twophase(
-            q, docs_t_local, c, n_valid=n_valid, block_n=8192,
-            block_q=max(8, q.shape[0]), seg_rows=16, precision=precision,
+        # bf16 doc tiles: the measured-fast 8192-row block (6.3 MB in
+        # VMEM); fp32 halves it to keep the same footprint; misaligned
+        # shards (only reachable via the big-Q budget guard) pay a
+        # small in-jit pad at block 1024
+        bn = TWOPHASE_BLOCK_N if q.dtype == jnp.bfloat16 else (
+            TWOPHASE_BLOCK_N // 2
+        )
+        s, i = dense_topk_twophase_rm(
+            q, docs_local, c, n_valid=n_valid,
+            block_n=bn if aligned else 1024,
+            seg_rows=8, precision=precision,
         )
         gids = jnp.where(i >= 0, i + base, i)
         s = jnp.where((gids >= 0) & (gids < n_docs), s, -jnp.inf)
         return s, gids
-    scores = jnp.dot(
-        q, docs_t_local, preferred_element_type=jnp.float32,
-        precision=precision,
-    )
+    scores = _dot_nd(q, docs_local, precision)
     col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + base
     scores = jnp.where(col < n_docs, scores, -jnp.inf)
     s, i = _topk_padded(scores, c)
@@ -242,8 +263,8 @@ def _bm25_segment_stats(pids, pw, n_docs):
     ),
 )
 def sharded_hybrid_search(
-    docs_t: jax.Array,        # [D, Npad] sharded over columns; or PQ
-                              # codes [Npad, m] uint8 sharded over rows
+    docs: jax.Array,          # [Npad, D] row-sharded; or PQ codes
+                              # [Npad, m] uint8 row-sharded
     post_ids: jax.Array,      # [Q, P] global doc ids (replicated)
     post_w: jax.Array,        # [Q, P]
     q_emb: jax.Array,         # [Q, D] (replicated)
@@ -286,14 +307,14 @@ def sharded_hybrid_search(
     row (the minor/fast ICI axis); no cross-row collectives exist. Q
     must divide the data-axis size.
 
-    PQ capacity mode: when ``docs_t`` is uint8 packed codes
+    PQ capacity mode: when ``docs`` is uint8 packed codes
     ``[Npad, m]`` (row-sharded) and ``pq_codebooks`` is given, the
     local dense stage scores via the 4-bit PQ one-hot-matmul kernel
     (ops/pq.py). Dense scores are then approximate under the PQ metric
     — the engine oversamples and fp32-rescores (same contract as int8
     mode) — and ``q_emb`` must arrive pre-rotated when OPQ is in play.
     """
-    is_pq = docs_t.dtype == jnp.uint8
+    is_pq = docs.dtype == jnp.uint8
     if is_pq and pq_codebooks is None:
         raise ValueError("uint8 (PQ) doc codes require pq_codebooks")
     is_ivf = is_pq and ivf_centroids is not None
@@ -301,7 +322,7 @@ def sharded_hybrid_search(
         raise ValueError("IVF mode requires ivf_doc_ids (the global-id "
                          "cell permutation)")
     n_shards = mesh.shape[AXIS]
-    n_pad_docs = docs_t.shape[0] if is_pq else docs_t.shape[1]
+    n_pad_docs = docs.shape[0]
     n_local = n_pad_docs // n_shards
     if data_axis is not None and q_emb.shape[0] % mesh.shape[data_axis]:
         raise ValueError(
@@ -458,7 +479,7 @@ def sharded_hybrid_search(
         return f, ids, sem, key
 
     dax = data_axis
-    spec_docs = P(AXIS, None) if is_pq else P(None, AXIS)
+    spec_docs = P(AXIS, None)    # every storage mode is row-sharded
     spec_ivf_cent = P(AXIS, None) if is_ivf else P(None, None)
     spec_ivf_ids = P(AXIS) if is_ivf else P(None)
     spec_q2 = P(dax, None)   # [Q, ...] operands: data-sharded when 2-D
@@ -473,7 +494,7 @@ def sharded_hybrid_search(
         ),
         out_specs=(spec_q2, spec_q2, spec_q2, spec_q2),
         check_vma=False,
-    )(docs_t, doc_scales, pq_codebooks, ivf_centroids, ivf_doc_ids,
+    )(docs, doc_scales, pq_codebooks, ivf_centroids, ivf_doc_ids,
       post_ids, post_w, q_emb, weights)
 
 
@@ -577,13 +598,21 @@ class ShardedIndex:
       - ``pq`` — 4-bit product quantization (ops/pq.py): m packed
         bytes/doc (default m=48 → 32x vs fp32, ~300M docs on a 16 GB
         chip); scored on the MXU via per-nibble-subspace one-hot
-        matmuls, candidates fp32-rescored by the engine. ``docs_t``
+        matmuls, candidates fp32-rescored by the engine. ``docs``
         then holds the codes ``[Npad, m]`` row-sharded,
         ``pq_codebooks`` the trained ``[2m, 16, dsub]`` centroids, and
         ``pq_rotation`` the optional OPQ rotation.
+
+    Layout: ``[Npad, D]`` ROW-major, row-sharded over the mesh in every
+    mode (round 3 — previously float modes stored the transposed
+    ``[D, Npad]``). Row-major is what the measured-fastest large-N
+    backend wants: the two-phase kernel streams ``[BN, D]`` tiles as
+    the matmul LHS and its candidate gather reads contiguous rows
+    (ops/dense.py dense_topk_twophase_rm), and big corpora pad so each
+    shard's slice is TWOPHASE_BLOCK_N-aligned (no in-jit pad copy).
     """
 
-    docs_t: jax.Array      # [D, Npad] column-sharded; PQ: [Npad, m] u8
+    docs: jax.Array        # [Npad, D] row-sharded; PQ: [Npad, m] u8
     mesh: Mesh
     n_docs: int
     doc_scales: Optional[jax.Array] = None   # [Npad] f32, int8 mode only
@@ -634,7 +663,7 @@ class ShardedIndex:
         n_real = int((ivf.doc_ids >= 0).sum())
 
         return cls(
-            docs_t=device_put_global(codes, mesh, P(AXIS, None)),
+            docs=device_put_global(codes, mesh, P(AXIS, None)),
             mesh=mesh,
             n_docs=n_real,
             pq_codebooks=replicate_global(
@@ -668,7 +697,7 @@ class ShardedIndex:
         padded = np.zeros((n_pad, m), dtype=np.uint8)
         padded[:n] = codes
         return cls(
-            docs_t=device_put_global(padded, mesh, P(AXIS, None)),
+            docs=device_put_global(padded, mesh, P(AXIS, None)),
             mesh=mesh,
             n_docs=n,
             pq_codebooks=replicate_global(
@@ -695,7 +724,14 @@ class ShardedIndex:
         mesh = mesh or make_mesh()
         n, d = embeddings.shape
         n_shards = mesh.shape[AXIS]
-        n_pad = -(-n // n_shards) * n_shards
+        # big corpora align each shard's row count to the two-phase
+        # kernel's block so the large-N dispatch never pays an in-jit
+        # pad copy (measured +2.3 ms/1M docs); small corpora ride the
+        # XLA dot path where plain shard alignment suffices
+        unit = n_shards
+        if -(-n // n_shards) >= TWOPHASE_MIN_DOCS:
+            unit = n_shards * TWOPHASE_BLOCK_N
+        n_pad = -(-n // unit) * unit
 
         if dtype == "pq":
             # train-on-the-fly convenience; builds persist the trained
@@ -707,18 +743,17 @@ class ShardedIndex:
             )
             codes = encode_pq(np.asarray(embeddings, np.float32), cb)
             return cls.from_pq(codes, cb.codebooks, mesh, cb.rotation)
-        # keep the transposed layout contiguous per shard column-block
-        docs_t = np.zeros((d, n_pad), dtype=np.float32)
-        docs_t[:, :n] = np.ascontiguousarray(embeddings.T)
+        docs = np.zeros((n_pad, d), dtype=np.float32)
+        docs[:n] = embeddings
 
         if dtype == "int8":
-            scales = np.abs(docs_t).max(axis=0) / 127.0     # per doc
+            scales = np.abs(docs).max(axis=1) / 127.0       # per doc
             scales[scales == 0] = 1.0
             quant = np.clip(
-                np.rint(docs_t / scales[None, :]), -127, 127
+                np.rint(docs / scales[:, None]), -127, 127
             ).astype(np.int8)
             return cls(
-                docs_t=device_put_global(quant, mesh, P(None, AXIS)),
+                docs=device_put_global(quant, mesh, P(AXIS, None)),
                 mesh=mesh,
                 n_docs=n,
                 doc_scales=device_put_global(
@@ -729,11 +764,11 @@ class ShardedIndex:
         # ml_dtypes gives numpy a true bfloat16 dtype, so the cast
         # happens host-side and multi-host processes slice the same
         # global buffer
-        host = docs_t.astype(
+        host = docs.astype(
             jnp.bfloat16 if dtype == "bfloat16" else np.float32
         )
         return cls(
-            docs_t=device_put_global(host, mesh, P(None, AXIS)),
+            docs=device_put_global(host, mesh, P(AXIS, None)),
             mesh=mesh,
             n_docs=n,
         )

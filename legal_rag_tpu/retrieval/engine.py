@@ -258,7 +258,7 @@ class RetrievalEngine:
             post_ids, post_w = self.store.bm25.gather_postings(queries, budget)
         with self.timer.stage("device_search"):
             scores, ids, sem, key = sharded_hybrid_search(
-                self.index.docs_t,
+                self.index.docs,
                 jnp.asarray(post_ids),
                 jnp.asarray(post_w),
                 jnp.asarray(q_dev),

@@ -177,7 +177,7 @@ def main():
         jj = jax.jit(loop)
 
         def j(r):
-            return jj(r, sidx.docs_t, d_pid, d_pw, d_q, d_w)
+            return jj(r, sidx.docs, d_pid, d_pw, d_q, d_w)
 
         t0 = time.time()
         float(j(1))
@@ -188,7 +188,7 @@ def main():
             f"{dt*1e3:.2f} ms/batch-{Q} -> {Q/dt:.0f} QPS")
 
         _, ids, _, _ = sharded_hybrid_search(
-            sidx.docs_t, d_pid, d_pw, d_q, d_w,
+            sidx.docs, d_pid, d_pw, d_q, d_w,
             mesh=mesh, k=K, c=2 * K, n_docs=N, mode="weighted",
         )
         results[name + "_ids"] = np.asarray(ids)

@@ -233,3 +233,97 @@ def test_twophase_two_level_select_matches_golden(monkeypatch):
     assert_topk_equiv(queries, docs, 10, s, i)
     # the three duplicates tie exactly at the top: ascending-id order
     assert list(np.asarray(i)[0][:3]) == [500, 7000, 9100]
+
+# ---------------------------------------------------------------------------
+# Row-major two-phase backend (the production large-N dispatch, round 3)
+# ---------------------------------------------------------------------------
+
+
+def test_twophase_rm_matches_golden(data):
+    from legal_rag_tpu.ops.dense import dense_topk_twophase_rm
+
+    queries, docs = data
+    s, i = dense_topk_twophase_rm(
+        jnp.asarray(queries), jnp.asarray(docs), 10,
+        block_n=1024, interpret=True,
+    )
+    assert_topk_equiv(queries, docs, 10, s, i)
+
+
+def test_twophase_rm_duplicate_tie_break():
+    from legal_rag_tpu.ops.dense import dense_topk_twophase_rm
+
+    rng = np.random.default_rng(13)
+    docs = rng.standard_normal((2000, 32)).astype(np.float32)
+    docs[50] = docs[700] = docs[1500]          # 3 identical docs
+    queries = docs[50:51] * 1.5                # exact tie at the top
+    _, i = dense_topk_twophase_rm(
+        jnp.asarray(queries), jnp.asarray(docs), 5,
+        block_n=1024, interpret=True,
+    )
+    assert list(np.asarray(i)[0][:3]) == [50, 700, 1500]
+
+
+def test_twophase_rm_dynamic_n_valid():
+    """Zero pad rows past n_valid must not evict negative-cosine docs
+    from the in-kernel segment maxima."""
+    from legal_rag_tpu.ops.dense import dense_topk_twophase_rm
+
+    rng = np.random.default_rng(5)
+    n_real, n_padded, d = 700, 1024, 32
+    docs = np.zeros((n_padded, d), dtype=np.float32)
+    real = -np.abs(rng.standard_normal((n_real, d))).astype(np.float32)
+    docs[:n_real] = real / np.linalg.norm(real, axis=1, keepdims=True)
+    q = np.abs(rng.standard_normal((4, d))).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    s, ids = dense_topk_twophase_rm(
+        jnp.asarray(q), jnp.asarray(docs), 5,
+        n_valid=jnp.asarray(n_real, jnp.int32),
+        block_n=1024, interpret=True,
+    )
+    ids = np.asarray(ids)
+    assert (ids < n_real).all()
+    golden = np.argsort(
+        -(q.astype(np.float64) @ docs[:n_real].T.astype(np.float64)),
+        axis=1, kind="stable",
+    )[:, :5]
+    np.testing.assert_array_equal(ids, golden)
+
+
+@pytest.mark.parametrize("seg_rows,block_q", [(1, 8), (4, 16), (8, 64)])
+def test_twophase_rm_seg_rows_variants(data, seg_rows, block_q):
+    from legal_rag_tpu.ops.dense import dense_topk_twophase_rm
+
+    queries, docs = data
+    g_s, g_i = golden_topk(queries, docs, 7)
+    s, i = dense_topk_twophase_rm(
+        jnp.asarray(queries), jnp.asarray(docs), 7,
+        block_n=1024, block_q=block_q, seg_rows=seg_rows, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(i), g_i)
+    np.testing.assert_allclose(np.asarray(s), g_s, rtol=1e-5, atol=1e-6)
+
+
+def test_twophase_rm_two_level_select_matches_golden(monkeypatch):
+    """The two-level phase-2 select through the row-major path, with
+    duplicate-doc boundary ties across super-segments."""
+    import legal_rag_tpu.ops.dense as dense_mod
+
+    monkeypatch.setattr(dense_mod, "_TWO_LEVEL_MIN_SEGS", 1)
+    rng = np.random.default_rng(11)
+    n = 9600
+    docs = rng.standard_normal((n, 32)).astype(np.float32)
+    docs /= np.linalg.norm(docs, axis=1, keepdims=True)
+    docs[500] = docs[7000] = docs[9100]
+    queries = np.concatenate(
+        [docs[9100:9101] * 1.2,
+         rng.standard_normal((3, 32)).astype(np.float32)]
+    ).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+
+    s, i = dense_mod.dense_topk_twophase_rm(
+        jnp.asarray(queries), jnp.asarray(docs), 10,
+        block_n=128, block_q=8, seg_rows=1, interpret=True,
+    )
+    assert_topk_equiv(queries, docs, 10, s, i)
+    assert list(np.asarray(i)[0][:3]) == [500, 7000, 9100]

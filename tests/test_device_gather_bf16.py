@@ -73,10 +73,10 @@ def test_bf16_mode_runs_and_approximates(corpus_texts, bm25):
     args = (jnp.asarray(pi), jnp.asarray(pw), jnp.asarray(q), jnp.asarray(w))
     kw = dict(mesh=mesh, k=10, c=20, n_docs=n, mode="weighted")
     i32 = ShardedIndex.from_embeddings(docs, mesh)
-    f32_out = sharded_hybrid_search(i32.docs_t, *args, **kw)
+    f32_out = sharded_hybrid_search(i32.docs, *args, **kw)
     i16 = ShardedIndex.from_embeddings(docs, mesh, dtype="bfloat16")
-    assert i16.docs_t.dtype == jnp.bfloat16
-    bf_out = sharded_hybrid_search(i16.docs_t, *args, **kw)
+    assert i16.docs.dtype == jnp.bfloat16
+    bf_out = sharded_hybrid_search(i16.docs, *args, **kw)
 
     ids32 = np.asarray(f32_out[1])
     ids16 = np.asarray(bf_out[1])
@@ -105,10 +105,10 @@ def test_int8_mode_high_recall(corpus_texts, bm25):
     w = np.zeros(4, np.float32)  # dense-only fusion for a clean check
 
     i8 = ShardedIndex.from_embeddings(docs, mesh, dtype="int8")
-    assert i8.docs_t.dtype == jnp.int8
+    assert i8.docs.dtype == jnp.int8
     assert i8.doc_scales is not None
     f8, ids8, sem8, _ = sharded_hybrid_search(
-        i8.docs_t, jnp.asarray(pi), jnp.asarray(pw), jnp.asarray(q),
+        i8.docs, jnp.asarray(pi), jnp.asarray(pw), jnp.asarray(q),
         jnp.asarray(w), i8.doc_scales,
         mesh=mesh, k=10, c=20, n_docs=n, mode="weighted",
     )

@@ -53,7 +53,7 @@ def test_int8_rescore_restores_exact_topk(tight_corpus):
 
     k_dev = k * oversample
     _, ids8, _, key8 = sharded_hybrid_search(
-        index8.docs_t, jnp.asarray(post_ids), jnp.asarray(post_w),
+        index8.docs, jnp.asarray(post_ids), jnp.asarray(post_w),
         jnp.asarray(q), jnp.asarray(weights), index8.doc_scales,
         mesh=mesh, k=k_dev, c=2 * k_dev, n_docs=n, mode="weighted",
     )

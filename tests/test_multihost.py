@@ -62,7 +62,7 @@ mesh = make_mesh(8)                       # global: spans both processes
 index = ShardedIndex.from_embeddings(docs, mesh)
 
 scores, ids, _, _ = sharded_hybrid_search(
-    index.docs_t,
+    index.docs,
     replicate_global(post_ids, mesh),
     replicate_global(post_w, mesh),
     replicate_global(q_emb, mesh),
@@ -141,7 +141,7 @@ def test_sharded_search_across_two_processes():
     mesh = make_mesh(8)
     index = ShardedIndex.from_embeddings(docs, mesh)
     _, gold_ids, _, _ = sharded_hybrid_search(
-        index.docs_t, jnp.asarray(post_ids), jnp.asarray(post_w),
+        index.docs, jnp.asarray(post_ids), jnp.asarray(post_w),
         jnp.asarray(q_emb), jnp.asarray(weights),
         mesh=mesh, k=5, c=10, n_docs=n, mode="weighted",
     )

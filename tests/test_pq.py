@@ -197,9 +197,9 @@ def test_sharded_pq_matches_single_shard(clustered, corpus_texts, n_shards):
         idx = ShardedIndex.from_embeddings(
             docs, mesh, dtype="pq", pq_m=M
         )
-        assert idx.docs_t.dtype == jnp.uint8
+        assert idx.docs.dtype == jnp.uint8
         return sharded_hybrid_search(
-            idx.docs_t, jnp.asarray(post_ids), jnp.asarray(post_w),
+            idx.docs, jnp.asarray(post_ids), jnp.asarray(post_w),
             jnp.asarray(q_emb), jnp.asarray(w), None, idx.pq_codebooks,
             mesh=mesh, k=5, c=10, n_docs=n, mode="weighted",
         )
@@ -276,7 +276,7 @@ def test_engine_pq_mode_matches_fp32(pq_store):
     store, d = pq_store
     loaded = VectorStore.load(d)
     eng_full = RetrievalEngine(loaded, config=_tiny_cfg("pq", oversample=32))
-    assert eng_full.index.docs_t.dtype == jnp.uint8   # loaded artifacts
+    assert eng_full.index.docs.dtype == jnp.uint8   # loaded artifacts
     eng_pq = RetrievalEngine(loaded, config=_tiny_cfg("pq"))
     eng_fp = RetrievalEngine(loaded, config=_tiny_cfg("float32"))
 
@@ -321,7 +321,7 @@ def test_engine_pq_trains_on_the_fly(corpus_texts):
     store = build_index(chunks, config=_tiny_cfg())
     assert store.pq_codes is None
     eng = RetrievalEngine(store, config=_tiny_cfg("pq"))
-    assert eng.index.docs_t.dtype == jnp.uint8
+    assert eng.index.docs.dtype == jnp.uint8
     out = eng.search_batch(["police fir", "w1 w2"], k=3)
     assert all(len(row) > 0 for row in out)
     assert all(0 <= r.doc_id < 32 for row in out for r in row)
@@ -489,7 +489,7 @@ def test_sharded_ivf_full_probes_matches_flat_pq(clustered, n_shards):
     mesh = make_mesh(n_shards)
     flat = ShardedIndex.from_pq(codes, cb.codebooks, mesh)
     fr = sharded_hybrid_search(
-        flat.docs_t, jnp.asarray(pid), jnp.asarray(pw),
+        flat.docs, jnp.asarray(pid), jnp.asarray(pw),
         jnp.asarray(queries), jnp.asarray(w),
         pq_codebooks=flat.pq_codebooks,
         mesh=mesh, k=5, c=20, n_docs=len(docs), mode="weighted",
@@ -498,7 +498,7 @@ def test_sharded_ivf_full_probes_matches_flat_pq(clustered, n_shards):
     ivf_idx = ShardedIndex.from_pq_ivf(ivf, cb.codebooks, mesh)
     assert ivf_idx.n_docs == len(docs)
     ir = sharded_hybrid_search(
-        ivf_idx.docs_t, jnp.asarray(pid), jnp.asarray(pw),
+        ivf_idx.docs, jnp.asarray(pid), jnp.asarray(pw),
         jnp.asarray(queries), jnp.asarray(w),
         pq_codebooks=ivf_idx.pq_codebooks,
         ivf_centroids=ivf_idx.ivf_centroids,
@@ -537,7 +537,7 @@ def test_sharded_ivf_partial_probes_recall(clustered):
         idx = ShardedIndex.from_pq_ivf(ivf, cb.codebooks, mesh)
         local_cells = -(-ivf.n_cells // n_shards)
         _, ids, _, _ = sharded_hybrid_search(
-            idx.docs_t, jnp.asarray(pid), jnp.asarray(pw),
+            idx.docs, jnp.asarray(pid), jnp.asarray(pw),
             jnp.asarray(queries), jnp.asarray(w),
             pq_codebooks=idx.pq_codebooks,
             ivf_centroids=idx.ivf_centroids,
@@ -550,7 +550,7 @@ def test_sharded_ivf_partial_probes_recall(clustered):
 
     flat = ShardedIndex.from_pq(codes, cb.codebooks, make_mesh(1))
     _, gold, _, _ = sharded_hybrid_search(
-        flat.docs_t, jnp.asarray(pid), jnp.asarray(pw),
+        flat.docs, jnp.asarray(pid), jnp.asarray(pw),
         jnp.asarray(queries), jnp.asarray(w),
         pq_codebooks=flat.pq_codebooks,
         mesh=make_mesh(1), k=5, c=20, n_docs=len(docs),

@@ -54,7 +54,7 @@ def test_sharded_matches_golden(setup, n_shards):
     mesh = make_mesh(n_shards)
     index = ShardedIndex.from_embeddings(docs, mesh)
     f, ids, sem, key = sharded_hybrid_search(
-        index.docs_t,
+        index.docs,
         jnp.asarray(post_ids), jnp.asarray(post_w),
         jnp.asarray(q_emb), jnp.asarray(w),
         mesh=mesh, k=k, c=cmult * k, n_docs=docs.shape[0],
@@ -74,7 +74,7 @@ def test_sharded_identical_across_mesh_sizes(setup):
         mesh = make_mesh(n_shards)
         index = ShardedIndex.from_embeddings(docs, mesh)
         f, ids, _, _ = sharded_hybrid_search(
-            index.docs_t, jnp.asarray(post_ids), jnp.asarray(post_w),
+            index.docs, jnp.asarray(post_ids), jnp.asarray(post_w),
             jnp.asarray(q_emb), jnp.asarray(w),
             mesh=mesh, k=5, c=10, n_docs=docs.shape[0], mode="weighted",
         )
@@ -90,7 +90,7 @@ def test_sharded_rrf_mode(setup):
     mesh = make_mesh(4)
     index = ShardedIndex.from_embeddings(docs, mesh)
     f, ids, _, _ = sharded_hybrid_search(
-        index.docs_t, jnp.asarray(post_ids), jnp.asarray(post_w),
+        index.docs, jnp.asarray(post_ids), jnp.asarray(post_w),
         jnp.asarray(q_emb), jnp.asarray(w),
         mesh=mesh, k=5, c=10, n_docs=docs.shape[0], mode="rrf",
     )
@@ -116,23 +116,23 @@ def test_twophase_fallback_inside_shard_map(setup):
     import functools
 
     orig_budget = sh._SCORE_MATRIX_BUDGET_BYTES
-    orig_tp = sh.dense_topk_twophase
+    orig_tp = sh.dense_topk_twophase_rm
     try:
         sh._SCORE_MATRIX_BUDGET_BYTES = 1   # force the fallback
-        sh.dense_topk_twophase = functools.partial(orig_tp, interpret=True)
+        sh.dense_topk_twophase_rm = functools.partial(orig_tp, interpret=True)
         # the budget is read at TRACE time — bypass the jit cache so
         # the patched value actually takes effect
         f_p, ids_p, _, _ = sharded_hybrid_search.__wrapped__(
-            index.docs_t, jnp.asarray(post_ids), jnp.asarray(post_w),
+            index.docs, jnp.asarray(post_ids), jnp.asarray(post_w),
             jnp.asarray(q_emb), jnp.asarray(w),
             mesh=mesh, k=5, c=10, n_docs=docs.shape[0],
             mode="weighted",
         )
     finally:
         sh._SCORE_MATRIX_BUDGET_BYTES = orig_budget
-        sh.dense_topk_twophase = orig_tp
+        sh.dense_topk_twophase_rm = orig_tp
     f_x, ids_x, _, _ = sharded_hybrid_search(
-        index.docs_t, jnp.asarray(post_ids), jnp.asarray(post_w),
+        index.docs, jnp.asarray(post_ids), jnp.asarray(post_w),
         jnp.asarray(q_emb), jnp.asarray(w),
         mesh=mesh, k=5, c=10, n_docs=docs.shape[0],
         mode="weighted",
@@ -153,9 +153,9 @@ def test_segsum_sparse_path_matches_scatter(setup, mode):
             jnp.asarray(q_emb), jnp.asarray(w))
     kw = dict(mesh=mesh, k=5, c=10, n_docs=docs.shape[0], mode=mode)
     f_sc, i_sc, s_sc, k_sc = sharded_hybrid_search(
-        index.docs_t, *args, sparse_mode="scatter", **kw)
+        index.docs, *args, sparse_mode="scatter", **kw)
     f_sg, i_sg, s_sg, k_sg = sharded_hybrid_search(
-        index.docs_t, *args, sparse_mode="segsum", **kw)
+        index.docs, *args, sparse_mode="segsum", **kw)
     np.testing.assert_array_equal(np.asarray(i_sc), np.asarray(i_sg))
     np.testing.assert_allclose(np.asarray(f_sc), np.asarray(f_sg), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(k_sc), np.asarray(k_sg),
@@ -179,9 +179,9 @@ def test_segsum_correct_with_negative_weights(setup, mode):
             jnp.asarray(q_emb), jnp.asarray(w))
     kw = dict(mesh=mesh, k=5, c=10, n_docs=docs.shape[0], mode=mode)
     f_sc, i_sc, _, k_sc = sharded_hybrid_search(
-        index.docs_t, *args, sparse_mode="scatter", **kw)
+        index.docs, *args, sparse_mode="scatter", **kw)
     f_sg, i_sg, _, k_sg = sharded_hybrid_search(
-        index.docs_t, *args, sparse_mode="segsum", **kw)
+        index.docs, *args, sparse_mode="segsum", **kw)
     np.testing.assert_array_equal(np.asarray(i_sc), np.asarray(i_sg))
     np.testing.assert_allclose(np.asarray(f_sc), np.asarray(f_sg),
                                rtol=1e-5, atol=1e-6)
@@ -211,18 +211,18 @@ def test_twophase_pad_docs_cannot_evict_negative_cosine(setup):
     import functools
 
     orig_budget = sh._SCORE_MATRIX_BUDGET_BYTES
-    orig_tp = sh.dense_topk_twophase
+    orig_tp = sh.dense_topk_twophase_rm
     try:
         sh._SCORE_MATRIX_BUDGET_BYTES = 1
-        sh.dense_topk_twophase = functools.partial(orig_tp, interpret=True)
+        sh.dense_topk_twophase_rm = functools.partial(orig_tp, interpret=True)
         f, ids, sem, _ = sharded_hybrid_search.__wrapped__(
-            index.docs_t, jnp.asarray(post_ids), jnp.asarray(post_w),
+            index.docs, jnp.asarray(post_ids), jnp.asarray(post_w),
             jnp.asarray(q_emb), jnp.asarray(w),
             mesh=mesh, k=5, c=8, n_docs=n, mode="weighted",
         )
     finally:
         sh._SCORE_MATRIX_BUDGET_BYTES = orig_budget
-        sh.dense_topk_twophase = orig_tp
+        sh.dense_topk_twophase_rm = orig_tp
     ids = np.asarray(ids)
     assert (ids >= 0).all() and (ids < n).all()
     # exact golden: all docs valid, c=8 per shard covers global top-5
@@ -243,13 +243,13 @@ def test_2d_mesh_data_parallel_matches_1d(setup, mode):
     mesh1 = make_mesh(4)
     idx1 = ShardedIndex.from_embeddings(docs, mesh1)
     f1, i1, s1, k1 = sharded_hybrid_search(
-        idx1.docs_t, jnp.asarray(post_ids), jnp.asarray(post_w),
+        idx1.docs, jnp.asarray(post_ids), jnp.asarray(post_w),
         jnp.asarray(q_emb), jnp.asarray(w), mesh=mesh1, **kw)
 
     mesh2 = make_mesh_2d(2, 4)
     idx2 = ShardedIndex.from_embeddings(docs, mesh2)
     f2, i2, s2, k2 = sharded_hybrid_search(
-        idx2.docs_t, jnp.asarray(post_ids), jnp.asarray(post_w),
+        idx2.docs, jnp.asarray(post_ids), jnp.asarray(post_w),
         jnp.asarray(q_emb), jnp.asarray(w), mesh=mesh2,
         data_axis="data", **kw)
 
@@ -266,7 +266,7 @@ def test_2d_mesh_rejects_indivisible_batch(setup):
     idx2 = ShardedIndex.from_embeddings(docs, mesh2)
     with pytest.raises(ValueError, match="divide data axis"):
         sharded_hybrid_search(
-            idx2.docs_t, jnp.asarray(post_ids[:3]), jnp.asarray(post_w[:3]),
+            idx2.docs, jnp.asarray(post_ids[:3]), jnp.asarray(post_w[:3]),
             jnp.asarray(q_emb[:3]), jnp.asarray(np.full(3, .5, np.float32)),
             mesh=mesh2, data_axis="data", k=5, c=10,
             n_docs=docs.shape[0],

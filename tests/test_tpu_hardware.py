@@ -89,7 +89,7 @@ def test_sharded_search_end_to_end_on_chip():
         idx = ShardedIndex.from_embeddings(docs, mesh)
         pi = jnp.full((q, 64), n, jnp.int32); pw = jnp.zeros((q, 64))
         _, ids, _, _ = sharded_hybrid_search(
-            idx.docs_t, pi, pw, jnp.asarray(qe),
+            idx.docs, pi, pw, jnp.asarray(qe),
             jnp.zeros((q,), jnp.float32),
             mesh=mesh, k=k, c=2*k, n_docs=n, mode="weighted",
             use_pallas=True)
@@ -144,7 +144,7 @@ def test_int8_rescore_on_chip():
         pi = jnp.full((8, 8), n, jnp.int32); pw = jnp.zeros((8, 8))
         w = np.zeros(8, np.float32)
         _, ids8, _, key8 = sharded_hybrid_search(
-            idx.docs_t, pi, pw, jnp.asarray(qe), jnp.asarray(w),
+            idx.docs, pi, pw, jnp.asarray(qe), jnp.asarray(w),
             idx.doc_scales, mesh=mesh, k=4*k, c=8*k, n_docs=n,
             mode="weighted")
         _, ids, _, _ = exact_rescore(qe, np.asarray(ids8), docs,
