@@ -273,7 +273,7 @@ def train_cross_encoder_hard(
     steps: int = 600,
     batch_queries: int = 8,
     n_neg: int = 7,
-    learning_rate: float = 2e-5,
+    learning_rate: float = 5e-5,
     max_len: int = 128,
     seed: int = 0,
     log_fn=None,
@@ -346,7 +346,16 @@ def train_cross_encoder_hard(
         return q, [texts[pos]] + [texts[d] for d in negs]
 
     group = 1 + n_neg
-    optimizer = optax.adamw(learning_rate)
+    # warmup + cosine decay: the trunk is corpus-contrastively trained,
+    # not MS-MARCO-pretrained — a flat tiny LR never escapes chance on
+    # listwise groups within an affordable step budget (the round-2/3
+    # post-mortems), while an unwarmed large LR destroys the trunk
+    schedule = optax.warmup_cosine_decay_schedule(
+        init_value=0.0, peak_value=learning_rate,
+        warmup_steps=max(1, steps // 10), decay_steps=steps,
+        end_value=learning_rate * 0.05,
+    )
+    optimizer = optax.adamw(schedule)
     opt_state = optimizer.init(ce.params)
     step = make_ce_train_step_grouped(ce.cfg, optimizer, group)
     max_len = min(max_len, ce.cfg.max_len)

@@ -1,15 +1,18 @@
-"""Large-N dense backend shootout (reproducible; VERDICT r1 item 5).
+"""Large-N dense backend shootout (reproducible; VERDICT r2 item 2).
 
-Synthetic [N, 384] corpus at N=1M (override BENCH_N), batch 64, k=10:
-XLA dot+top_k vs the two-phase Pallas segment-max kernel, bf16 storage.
+Synthetic [N, 384] corpora, batch 64, k=10: XLA dot+top_k vs the
+row-major two-phase Pallas kernel (the production large-N dispatch,
+ops/dense.py dense_topk_twophase_rm) vs the legacy column-major
+variant, bf16 storage, at several N to pin the dispatch crossover
+(TWOPHASE_MIN_DOCS).
 
 Measurement methodology (this matters on the shared TPU relay): the
 relay adds a large, *variable* per-dispatch overhead after big
 compiles (~25 ms observed), which swamps single-program wall times. So
-each backend is run R times INSIDE one jitted program (lax.map over a
-stacked query batch) — one relay round trip — and the per-iteration
-device time is the slope: (t(R) - t(1)) / (R - 1). Recall of every
-backend is checked against the bf16-XLA ranking.
+each backend runs r reps INSIDE one jitted fori_loop — one relay round
+trip — and per-iteration device time is the slope
+(t(r2) - t(r1)) / (r2 - r1). Recall of every backend is checked
+against the bf16-XLA ranking.
 
 Run on the TPU:  python scripts/bench_scale.py
 """
@@ -29,11 +32,14 @@ enable_compile_cache(os.path.expanduser("~/.cache/legal_rag_roofline"))
 import jax
 import jax.numpy as jnp
 
-from legal_rag_tpu.ops.dense import dense_topk_twophase
+from legal_rag_tpu.ops.dense import dense_topk_twophase, dense_topk_twophase_rm
 
-N = int(os.environ.get("BENCH_N", 1_000_000))
+SIZES = [
+    int(s) for s in os.environ.get(
+        "BENCH_SIZES", "262144,524288,1048576"
+    ).split(",")
+]
 D, Q, K = 384, 64, 10
-R = int(os.environ.get("BENCH_R", 8))
 
 
 def log(*a):
@@ -81,58 +87,70 @@ def recall(ids, ref_ids):
     ])
 
 
+def xla_one(qq, d):
+    scores = jax.lax.dot_general(
+        qq, d, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    s, i = jax.lax.top_k(scores, K)
+    return s, i.astype(jnp.int32)
+
+
+def rm_one(qq, d):
+    return dense_topk_twophase_rm(
+        qq, d, K, block_n=8192, seg_rows=8,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+
+
+def cm_one(qq, d):
+    return dense_topk_twophase(
+        qq, d, K, block_n=8192, block_q=64, seg_rows=8,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+
+
 def main():
-    log(f"devices: {jax.devices()}  N={N} D={D} Q={Q} k={K} R={R}")
+    nmax = max(SIZES)
+    log(f"devices: {jax.devices()}  sizes={SIZES} D={D} Q={Q} k={K}")
     rng = np.random.default_rng(0)
-    docs = rng.standard_normal((N, D)).astype(np.float32)
+    docs = rng.standard_normal((nmax, D)).astype(np.float32)
     docs /= np.linalg.norm(docs, axis=1, keepdims=True)
-    q = rng.standard_normal((R, Q, D)).astype(np.float32)
-    q /= np.linalg.norm(q, axis=2, keepdims=True)
+    q = rng.standard_normal((Q, D)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
     q16 = jnp.asarray(q, jnp.bfloat16)
-    d_docs16 = jnp.asarray(docs, jnp.bfloat16)       # [N, D] for XLA
-    d_docs_t16 = jnp.asarray(docs.T, jnp.bfloat16)   # [D, N] for pallas
+    docs16 = np.asarray(docs, dtype=jnp.bfloat16)
+    include_cm = os.environ.get("BENCH_CM", "0") == "1"
     del docs
 
-    gbytes = N * D * 2 / 1e9
-
-    def xla_one(qq, d):
-        scores = jnp.dot(
-            qq, d.T, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT,
-        )
-        s, i = jax.lax.top_k(scores, K)
-        return s, i.astype(jnp.int32)
-
-    dt, tc, out = slope(xla_one, q16[0], d_docs16)
-    ref_ids = np.asarray(out[1])
-    log(f"xla bf16:      {dt*1e3:7.2f} ms/iter device "
-        f"({gbytes/dt:5.0f} GB/s eff)  [compile {tc:.0f}s]")
-    results = {"xla_bf16": dt}
-
-    for block_n, block_q, seg_rows in (
-        (8192, 64, 8), (8192, 64, 16), (4096, 64, 8), (8192, 64, 4),
-    ):
-        if block_n % (seg_rows * 128):
-            continue
-        name = f"twophase bn={block_n} bq={block_q} sr={seg_rows}"
-        try:
-            def tp_one(qq, d, bn=block_n, bq=block_q, sr=seg_rows):
-                return dense_topk_twophase(
-                    qq, d, K, block_n=bn, block_q=bq, seg_rows=sr,
-                    precision=jax.lax.Precision.DEFAULT,
-                )
-
-            dt, tc, out = slope(tp_one, q16[0], d_docs_t16)
-            r = recall(out[1], ref_ids)
-            log(f"{name}: {dt*1e3:7.2f} ms/iter device "
-                f"({gbytes/dt:5.0f} GB/s eff)  recall={r:.4f} "
-                f"[compile {tc:.0f}s]")
-            results[name] = dt
-        except Exception as e:  # noqa: BLE001
-            log(f"{name}: FAILED {type(e).__name__}: {str(e)[:160]}")
-
-    best = min(results, key=results.get)
-    log(f"\nWINNER: {best} at {results[best]*1e3:.2f} ms/iter device time")
+    for n in SIZES:
+        gb = n * D * 2 / 1e9
+        d_rm = jnp.asarray(docs16[:n])                      # [N, D]
+        ref_ids = None
+        rows = [("xla dot+top_k", xla_one, d_rm)]
+        rows.append(("twophase-rm bn=8192 sr=8", rm_one, d_rm))
+        if include_cm:
+            d_cm = jnp.asarray(docs16[:n].T)                # [D, N]
+            rows.append(("twophase-cm bn=8192 sr=8", cm_one, d_cm))
+        results = {}
+        for name, fn, d in rows:
+            try:
+                dt, tc, out = slope(fn, q16, d)
+                r = 1.0 if ref_ids is None else recall(out[1], ref_ids)
+                if ref_ids is None:
+                    ref_ids = np.asarray(out[1])
+                log(f"N={n:>8}  {name:<26}: {dt*1e3:7.2f} ms "
+                    f"({gb/dt:5.0f} GB/s)  recall={r:.4f} "
+                    f"[compile {tc:.0f}s]")
+                results[name] = dt
+            except Exception as e:  # noqa: BLE001
+                log(f"N={n:>8}  {name:<26}: FAILED "
+                    f"{type(e).__name__}: {str(e)[:160]}")
+        if results:
+            best = min(results, key=results.get)
+            log(f"N={n:>8}  WINNER: {best} "
+                f"({results[best]*1e3:.2f} ms)\n")
 
 
 if __name__ == "__main__":
