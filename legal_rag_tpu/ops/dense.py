@@ -502,10 +502,12 @@ def _segmax_rm_kernel(
 
 
 # Per-shard doc count at which the row-major two-phase kernel becomes
-# the dense dispatch (slope-measured on v5e vs XLA dot+top_k; see
-# BASELINE.md scale table). Shards must be 8192-row aligned for the
-# no-copy path (ShardedIndex.from_embeddings aligns automatically).
-TWOPHASE_MIN_DOCS = 262144
+# the dense dispatch. Slope-measured on v5e vs XLA dot+top_k (batch 64,
+# bf16, k=10): XLA wins at 262k (0.80 vs 1.10 ms), rm wins at 524k
+# (1.57 vs 2.19) and 1M (2.13 vs 3.97) — interpolated crossover ~350k,
+# rounded up to a TWOPHASE_BLOCK_N multiple. Shards must be 8192-row
+# aligned for the no-copy path (from_embeddings aligns automatically).
+TWOPHASE_MIN_DOCS = 393216
 
 # Row-block alignment the row-major kernel wants so no in-jit pad copy
 # of the doc matrix happens (measured +2.3 ms/1M docs when it does).
