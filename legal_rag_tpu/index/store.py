@@ -127,7 +127,21 @@ class VectorStore:
         store_dir = Path(store_dir)
         store_dir.mkdir(parents=True, exist_ok=True)
 
-        np.save(store_dir / "embeddings.npy", self.embeddings)
+        # write-to-temp + atomic rename: saving INTO the directory this
+        # store was mmap-loaded from would otherwise truncate the file
+        # its own ``embeddings`` memory-map is still reading (observed
+        # as a mid-array OSError), and a crash mid-save can never leave
+        # a half-written artifact behind
+        def _atomic_npy(path: Path, arr: np.ndarray) -> None:
+            tmp = path.with_suffix(".npy.tmp")
+            with open(tmp, "wb") as f:      # file handle: np.save must
+                np.save(f, arr)             # not append a .npy suffix
+            tmp.replace(path)
+
+        _atomic_npy(
+            store_dir / "embeddings.npy",
+            np.ascontiguousarray(self.embeddings),
+        )
         np.savez_compressed(
             store_dir / "bm25.npz",
             indptr=self.bm25.indptr,
@@ -176,11 +190,11 @@ class VectorStore:
         if self.mv_tokens is not None:
             # separate .npy files (not npz) so serving can mmap the
             # token slab — at Td=32 it is 16x the embedding matrix
-            np.save(
+            _atomic_npy(
                 store_dir / "mv_tokens.npy",
                 np.asarray(self.mv_tokens, dtype=np.float16),
             )
-            np.save(
+            _atomic_npy(
                 store_dir / "mv_mask.npy",
                 np.asarray(self.mv_mask, dtype=np.uint8),
             )

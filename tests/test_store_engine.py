@@ -129,3 +129,18 @@ def test_stage_timing_collected(store):
     snap = engine.timer.snapshot()
     assert {"encode", "postings", "device_search"} <= set(snap)
     assert snap["device_search"]["count"] == 1
+
+
+def test_store_save_into_own_mmap_dir(store, tmp_path_factory):
+    """Saving a store back into the directory it was mmap-loaded from
+    must not clobber the file its own embeddings memory-map is reading
+    (regression: np.save truncated embeddings.npy mid-read -> OSError;
+    save now writes a temp file and atomically renames)."""
+    d = tmp_path_factory.mktemp("store_self")
+    store.save(d)
+    loaded = VectorStore.load(d)          # embeddings arrive mmap'd
+    assert isinstance(loaded.embeddings, np.memmap)
+    before = np.array(loaded.embeddings)  # materialized golden copy
+    loaded.save(d)                        # overwrite own backing files
+    reloaded = VectorStore.load(d)
+    np.testing.assert_array_equal(np.array(reloaded.embeddings), before)
