@@ -6,6 +6,7 @@ from legal_rag_tpu.ops.dense import (
     dense_topk_xla,
     dense_topk_pallas,
     dense_topk_twophase,
+    dense_topk_twophase_rm,
 )
 from legal_rag_tpu.ops.sparse import (
     BM25Index,
@@ -28,6 +29,7 @@ __all__ = [
     "dense_topk_xla",
     "dense_topk_pallas",
     "dense_topk_twophase",
+    "dense_topk_twophase_rm",
     "BM25Index",
     "build_bm25",
     "bm25_score_batch",
