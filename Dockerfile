@@ -26,7 +26,7 @@ RUN make -C legal_rag_tpu/native || true
 COPY README.md corpus* /corpus/
 RUN if ls /corpus/*.md /corpus/*.json >/dev/null 2>&1 \
         && [ "$(ls /corpus | grep -v '^README.md$' | head -1)" ]; then \
-        python -m legal_rag_tpu build --source /corpus --store /app/data/store --finetune-steps 4000; \
+        python -m legal_rag_tpu build --source /corpus --store /app/data/store --finetune-steps 4000 --rerank-steps 12000; \
     fi
 
 ENV PORT=8000 LEGAL_RAG_STORE=/app/data/store
