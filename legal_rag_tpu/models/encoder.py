@@ -110,7 +110,8 @@ class SentenceEncoder:
         matching the reference's normalize_L2 + IndexFlatIP setup)."""
         del normalize  # embeddings are always L2-normalized (cosine)
         batch_size = batch_size or self.cfg.encode_batch
-        out = []
+        if not texts:
+            return np.zeros((0, self.cfg.hidden), dtype=np.float32)
         tokenizer = self._fast_tokenizer or self.tokenizer
         # bfloat16 encoder config runs single-pass MXU matmuls (~3x
         # ingest throughput); float32 keeps full torch-parity precision
@@ -119,16 +120,29 @@ class SentenceEncoder:
             if self.cfg.dtype == "bfloat16"
             else jax.lax.Precision.HIGHEST
         )
-        for lo in range(0, len(texts), batch_size):
-            chunk = texts[lo : lo + batch_size]
-            ids, mask = tokenizer.encode_batch(
-                chunk, max_len=self.cfg.max_len
+        # Tokenize once, then batch in LENGTH-SORTED order: corpus-order
+        # batches pad every doc to the batch max (one 256-token statute
+        # drags a batch of 40-token clauses to 256 — mean doc is ~104
+        # tokens), while sorted batches pad to tight power-of-two
+        # buckets (pad_and_bucket). Attention masking + masked mean-pool
+        # make embeddings padding-invariant, so only throughput changes;
+        # results are unsorted back to input order.
+        from legal_rag_tpu.models.wordpiece import pad_and_bucket
+
+        encoded = [
+            tokenizer.encode(t, max_len=self.cfg.max_len) for t in texts
+        ]
+        order = sorted(range(len(texts)), key=lambda i: len(encoded[i]))
+        out = np.empty((len(texts), self.cfg.hidden), dtype=np.float32)
+        for lo in range(0, len(order), batch_size):
+            idx = order[lo : lo + batch_size]
+            ids, mask = pad_and_bucket(
+                [encoded[i] for i in idx], self.cfg.max_len,
+                tokenizer.pad_id,
             )
             emb = minilm_encode(
                 self.params, jnp.asarray(ids), jnp.asarray(mask), self.cfg,
                 precision=precision,
             )
-            out.append(np.asarray(emb))
-        if not out:
-            return np.zeros((0, self.cfg.hidden), dtype=np.float32)
-        return np.concatenate(out, axis=0)
+            out[idx] = np.asarray(emb)
+        return out

@@ -1,0 +1,128 @@
+"""seg_rows / block_n sweep for the row-major two-phase kernel at 1M.
+
+VERDICT r2 item 2 set the bar at <= 2 ms/batch-64 at 1M docs; the
+shipped default (bn=8192, sr=8) measures 2.13 ms. Phase 1 is already at
+84% of HBM peak, so the headroom is phase 2: seg_rows=16 halves the
+phase-2 segment-select width (N/16 vs N/8) at the cost of a 2x wider
+candidate gather (kk*16 contiguous rows/query — still tiny), and bigger
+block_n amortizes grid overhead. This sweep pins the best (bn, sr) to
+promote into the production dispatch defaults.
+
+Run on the TPU:  python scripts/exp_rm_sweep.py
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from legal_rag_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache(os.path.expanduser("~/.cache/legal_rag_roofline"))
+
+import jax
+import jax.numpy as jnp
+
+from legal_rag_tpu.ops.dense import dense_topk_twophase_rm
+
+N = int(os.environ.get("SWEEP_N", str(1 << 20)))
+D, Q, K = 384, 64, 10
+CONFIGS = [
+    (8192, 8),     # shipped default
+    (8192, 16),
+    (8192, 32),
+    (16384, 8),
+    (16384, 16),
+    (32768, 16),
+    (32768, 32),
+]
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def slope(make_fn, q, d, r1=4, r2=24):
+    def loop(r, q, d):
+        def step(i, acc):
+            qq = q * (1.0 + i.astype(q.dtype) * 0)
+            s, ids = make_fn(qq, d)
+            return acc + s.sum().astype(jnp.float32) + ids.sum().astype(
+                jnp.float32)
+        return jax.lax.fori_loop(0, r, step, jnp.float32(0.0))
+
+    j = jax.jit(loop)
+    t0 = time.perf_counter()
+    float(j(1, q, d))
+    t_compile = time.perf_counter() - t0
+
+    def timed(r):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(j(r, q, d))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    dt = (timed(r2) - timed(r1)) / (r2 - r1)
+    out = jax.jit(make_fn)(q, d)
+    return dt, t_compile, out
+
+
+def recall(ids, ref_ids):
+    ids, ref_ids = np.asarray(ids), np.asarray(ref_ids)
+    return np.mean([
+        len(set(ids[i]) & set(ref_ids[i])) / ref_ids.shape[1]
+        for i in range(ids.shape[0])
+    ])
+
+
+def xla_one(qq, d):
+    scores = jax.lax.dot_general(
+        qq, d, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    s, i = jax.lax.top_k(scores, K)
+    return s, i.astype(jnp.int32)
+
+
+def main():
+    log(f"devices: {jax.devices()}  N={N} D={D} Q={Q} k={K}")
+    rng = np.random.default_rng(0)
+    docs = rng.standard_normal((N, D)).astype(np.float32)
+    docs /= np.linalg.norm(docs, axis=1, keepdims=True)
+    q = rng.standard_normal((Q, D)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    q16 = jnp.asarray(q, jnp.bfloat16)
+    d_rm = jnp.asarray(docs, jnp.bfloat16)
+    del docs
+
+    dt, tc, out = slope(xla_one, q16, d_rm)
+    ref_ids = np.asarray(out[1])
+    gb = N * D * 2 / 1e9
+    log(f"xla dot+top_k: {dt*1e3:8.3f} ms  ({gb/dt:5.0f} GB/s)  "
+        f"compile {tc:.1f}s")
+
+    for bn, sr in CONFIGS:
+        def rm_one(qq, d, bn=bn, sr=sr):
+            return dense_topk_twophase_rm(
+                qq, d, K, block_n=bn, seg_rows=sr,
+                precision=jax.lax.Precision.DEFAULT,
+            )
+        try:
+            dt, tc, out = slope(rm_one, q16, d_rm)
+            r = recall(out[1], ref_ids)
+            log(f"rm bn={bn:<6} sr={sr:<3}: {dt*1e3:8.3f} ms  "
+                f"({gb/dt:5.0f} GB/s eff, {gb/dt/819*100:4.1f}% peak)  "
+                f"recall@{K}={r:.4f}  compile {tc:.1f}s")
+        except Exception as e:  # noqa: BLE001 — sweep survives bad cfg
+            log(f"rm bn={bn:<6} sr={sr:<3}: FAILED {type(e).__name__}: "
+                f"{str(e)[:120]}")
+
+
+if __name__ == "__main__":
+    main()

@@ -202,3 +202,28 @@ def test_sentence_encoder_end_to_end():
     # deterministic
     emb2 = enc.encode(texts, batch_size=3)
     np.testing.assert_allclose(emb, emb2, atol=2e-6)
+
+
+def test_sentence_encoder_length_sorted_batching_preserves_order():
+    """encode() batches in length-sorted order for throughput (short docs
+    no longer pad to a long straggler's length); embeddings must come
+    back in INPUT order and match per-text encoding bit-for-nearly-bit
+    (attention masking + masked mean-pool make results padding-invariant
+    up to float accumulation order)."""
+    from legal_rag_tpu.models.encoder import SentenceEncoder
+
+    texts = [
+        "a " * 60 + "long statute about robbery and punishment",  # long
+        "short clause",                                           # short
+        "b " * 40 + "medium procedure for filing a report",       # medium
+        "fir",                                                    # tiny
+        "c " * 90 + "longest provision with many repeated terms", # longest
+    ]
+    enc = SentenceEncoder(
+        cfg=dataclasses.replace(TINY, vocab_size=500),
+        vocab_corpus=texts,
+    )
+    batched = enc.encode(texts, batch_size=2)  # forces mixed-length batches
+    singles = np.concatenate([enc.encode([t]) for t in texts], axis=0)
+    np.testing.assert_allclose(batched, singles, atol=5e-5)
+    assert enc.encode([]).shape == (0, TINY.hidden)
