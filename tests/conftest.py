@@ -22,6 +22,20 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Immunize the suite against TPU-relay outages: jax initializes EVERY
+# registered PJRT plugin inside backends() regardless of jax_platforms,
+# and when the relay is down the axon plugin's client constructor
+# retries internally for ~45 min — hanging a CPU-only test run at the
+# first jax.devices(). Dropping the registered factory (not just the
+# env var — the sitecustomize already consumed that) keeps CPU runs
+# relay-independent.
+try:  # pragma: no cover - depends on image sitecustomize
+    from jax._src import xla_bridge as _xb
+
+    _xb._backend_factories.pop("axon", None)
+except Exception:  # noqa: BLE001 - defensive; suite still valid without
+    pass
+
 REPO_ROOT = Path(__file__).resolve().parent.parent
 if str(REPO_ROOT) not in sys.path:
     sys.path.insert(0, str(REPO_ROOT))
