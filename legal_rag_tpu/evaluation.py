@@ -226,13 +226,21 @@ def mrr_at_k(
     return total / max(len(relevants), 1)
 
 
-def _bm25_ranked_ids(store, queries: Sequence[str], k: int) -> np.ndarray:
+def _bm25_ranked_ids(
+    store, queries: Sequence[str], k: int,
+    config: RetrievalConfig = DEFAULT_CONFIG,
+) -> np.ndarray:
     """BM25-only ranking straight from the sparse ops (the reference's
     fusion can never produce this list — BM25-only hits are invisible to
-    it; this is the framework-native sparse baseline)."""
+    it; this is the framework-native sparse baseline). The postings
+    budget honors the serving cap: one stopword-dense eval query on a
+    large store must not allocate the multi-GB uncapped buffer the cap
+    exists to prevent."""
     from legal_rag_tpu.ops.sparse import bm25_topk
 
-    budget = max(8, store.bm25.postings_budget(queries))
+    budget = max(8, store.bm25.postings_budget(
+        queries, cap=config.bm25.postings_budget_cap
+    ))
     budget = 1 << (budget - 1).bit_length()
     pids, pw = store.bm25.gather_postings(queries, budget)
     _, ids = bm25_topk(
@@ -305,7 +313,7 @@ def evaluate_store(
                 hybrid_weights=[0.0] * chunk,
             ))
         elif mode == "bm25":
-            ranked = _bm25_ranked_ids(store, queries, kmax)
+            ranked = _bm25_ranked_ids(store, queries, kmax, config=config)
         elif mode in ("weighted", "rrf"):
             ranked = ids_from_results(batched_search(
                 engine=engine, mode=mode, hybrid_weights=None,
@@ -418,13 +426,21 @@ def evaluate_rerank(
     config: RetrievalConfig = DEFAULT_CONFIG,
     engine=None,
     alpha: float = 1.0,
+    alphas: Optional[Sequence[float]] = None,
 ) -> Dict:
     """Cross-encoder rerank stage on top of a base retrieval mode:
     retrieve top-``candidates`` with ``base_mode``, rerank them jointly
     (models/cross_encoder.py), report recall@k / MRR before vs after.
-    ``alpha`` blends CE scores with the base scores (1.0 = pure CE);
-    the builder's gate grid-searches it on held-out queries.
+    ``alpha`` blends CE scores with the base scores (1.0 = pure CE).
+
+    ``alphas`` evaluates a whole blend grid in ONE pass — the base
+    retrieval and the CE forward (the expensive parts) run once and
+    only the cheap host-side blend varies per alpha; the report then
+    carries ``modes["reranked@<alpha>"]`` per grid point plus
+    ``modes["reranked"]`` for the best-MRR alpha (``best_alpha`` at top
+    level). The builder's gate fits its serving alpha this way.
     """
+    from legal_rag_tpu.models.cross_encoder import blend_scores
     from legal_rag_tpu.retrieval.engine import RetrievalEngine
 
     engine = engine or RetrievalEngine(store, config=config)
@@ -432,27 +448,39 @@ def evaluate_rerank(
     relevants = [rel for _, rel in pairs]
     c = min(candidates, store.n_docs)
     kmax = min(max(ks), c)
+    grid = [float(a) for a in (alphas if alphas is not None else [alpha])]
 
     base = engine.search_batch(queries, k=c, mode=base_mode)
     base_ids = np.full((len(queries), c), -1, dtype=np.int64)
-    rer_ids = np.full((len(queries), c), -1, dtype=np.int64)
+    rer_ids = {
+        a: np.full((len(queries), c), -1, dtype=np.int64) for a in grid
+    }
     for qi, (query, rows) in enumerate(zip(queries, base)):
         ids = [r.doc_id for r in rows]
         base_ids[qi, : len(ids)] = ids
         if not ids:
             continue
         texts = [store.chunks[d]["text"] for d in ids]
-        order = reranker.rerank(
-            query, texts,
-            base_scores=[r.score for r in rows], alpha=alpha,
-        )
-        rer_ids[qi, : len(order)] = [ids[j] for j in order]
+        ce_scores = reranker.score_pairs([query] * len(texts), texts)
+        bs = np.asarray([r.score for r in rows], dtype=np.float64)
+        for a in grid:
+            s = ce_scores if a >= 1.0 else blend_scores(ce_scores, bs, a)
+            order = np.argsort(-s, kind="stable")
+            rer_ids[a][qi, : len(order)] = [ids[j] for j in order]
+
+    def entry(ranked):
+        e = {f"recall@{k}": recall_at_k(ranked, relevants, k)
+             for k in ks if k <= c}
+        e["mrr"] = mrr_at_k(ranked, relevants, kmax)
+        return e
 
     out = {"n_queries": len(queries), "base_mode": base_mode,
-           "candidates": c, "modes": {}}
-    for name, ranked in (("base", base_ids), ("reranked", rer_ids)):
-        entry = {f"recall@{k}": recall_at_k(ranked, relevants, k)
-                 for k in ks if k <= c}
-        entry["mrr"] = mrr_at_k(ranked, relevants, kmax)
-        out["modes"][name] = entry
+           "candidates": c, "modes": {"base": entry(base_ids)}}
+    per_alpha = {a: entry(rer_ids[a]) for a in grid}
+    best_alpha = max(grid, key=lambda a: per_alpha[a]["mrr"])
+    out["best_alpha"] = best_alpha
+    out["modes"]["reranked"] = per_alpha[best_alpha]
+    if alphas is not None:
+        for a in grid:
+            out["modes"][f"reranked@{a}"] = per_alpha[a]
     return out

@@ -104,11 +104,14 @@ def build_index(
     if finetune_steps:
         # (omitted when 0 so pre-existing store hashes stay valid)
         # "sib" fingerprints the round-3 sibling-positive pair stream
-        # (models/finetune.py make_sibling_pairs) — bump invalidates
-        # stores fine-tuned on span-only pairs
-        # "sib0.6" = swept sibling_prob default (BASELINE.md recipe
-        # sweep: 4000 steps / p_sib 0.6 wins both splits)
-        h.update(f"finetune:{finetune_steps}:sib0.6".encode())
+        # (models/finetune.py make_sibling_pairs); the prob tag comes
+        # from the constant the finetune actually uses, so a recipe
+        # change can never leave matching hashes on stale stores
+        from legal_rag_tpu.models.finetune import SIBLING_PROB_DEFAULT
+
+        h.update(
+            f"finetune:{finetune_steps}:sib{SIBLING_PROB_DEFAULT}".encode()
+        )
     if pq_m:
         # "opq8" fingerprints the quantizer recipe (8 OPQ iterations);
         # bump if the training procedure changes so stale stores rebuild
@@ -340,20 +343,21 @@ def _train_validated_reranker(
     engine = RetrievalEngine(store, config=config, encoder=encoder)
     # fit the blend weight on the held-out split: small alphas let a
     # noisy-but-real CE refine the base order without the authority to
-    # destroy it; alpha=1 is the pure-CE ordering
-    base = best = None
-    best_alpha = 0.0
-    for alpha in (0.1, 0.25, 0.5, 0.75, 1.0):
-        report = evaluate_rerank(
-            store, valid_pairs, ce, config=config, engine=engine,
-            alpha=alpha,
-        )
-        base = report["modes"]["base"]["mrr"]
-        rer = report["modes"]["reranked"]["mrr"]
-        if log_fn:
+    # destroy it; alpha=1 is the pure-CE ordering. ONE evaluate_rerank
+    # call scores the whole grid — retrieval + CE forward run once,
+    # only the cheap host-side blend varies per alpha.
+    grid = (0.1, 0.25, 0.5, 0.75, 1.0)
+    report = evaluate_rerank(
+        store, valid_pairs, ce, config=config, engine=engine,
+        alphas=grid,
+    )
+    base = report["modes"]["base"]["mrr"]
+    if log_fn:
+        for alpha in grid:
+            rer = report["modes"][f"reranked@{alpha}"]["mrr"]
             log_fn(f"  gate alpha={alpha}: mrr {base:.4f} -> {rer:.4f}")
-        if best is None or rer > best:
-            best, best_alpha = rer, alpha
+    best_alpha = report["best_alpha"]
+    best = report["modes"]["reranked"]["mrr"]
     if best >= base:
         store.ce_params = ce.params
         store.ce_alpha = best_alpha

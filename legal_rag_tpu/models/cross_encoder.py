@@ -311,7 +311,15 @@ def train_cross_encoder_hard(
     rng = np.random.default_rng(seed)
     mine = make_hard_negative_miner(texts)
     span_stream = make_pairs(texts, rng)
-    span_index = {id(t): i for i, t in enumerate(texts)}
+    # Key positives by text VALUE and exclude every duplicate: legal
+    # corpora repeat verbatim chunks (boilerplate sub-sections), and a
+    # textually identical twin of the positive mined as a "hard
+    # negative" hands the listwise loss a contradictory label. (Value
+    # keys also survive make_pairs ever yielding a copied string,
+    # where an id() lookup would KeyError.)
+    span_index: dict = {}
+    for _i, _t in enumerate(texts):
+        span_index.setdefault(_t, []).append(_i)
 
     if title_pairs is None:
         title_pairs = []
@@ -339,8 +347,9 @@ def train_cross_encoder_hard(
             exclude = rel
         else:
             q, pos_text = next(span_stream)
-            pos = span_index[id(pos_text)]
-            exclude = [pos]
+            same = span_index[pos_text]
+            pos = same[0]
+            exclude = list(same)
         negs = mine(q, exclude, hard, rng) if hard else []
         negs += rand_negs(list(exclude) + negs, n_neg - len(negs))
         return q, [texts[pos]] + [texts[d] for d in negs]

@@ -129,8 +129,14 @@ class SentenceEncoder:
         # results are unsorted back to input order.
         from legal_rag_tpu.models.wordpiece import pad_and_bucket
 
+        # int32 arrays, not Python int lists: tokenizing the whole
+        # corpus up front would otherwise hold ~28 B/token of boxed
+        # ints alive (GBs at 1M+ docs); arrays are 4 B/token.
         encoded = [
-            tokenizer.encode(t, max_len=self.cfg.max_len) for t in texts
+            np.asarray(
+                tokenizer.encode(t, max_len=self.cfg.max_len), np.int32
+            )
+            for t in texts
         ]
         order = sorted(range(len(texts)), key=lambda i: len(encoded[i]))
         out = np.empty((len(texts), self.cfg.hidden), dtype=np.float32)

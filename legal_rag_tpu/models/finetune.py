@@ -22,6 +22,11 @@ from legal_rag_tpu.config import EncoderConfig
 from legal_rag_tpu.models.encoder import SentenceEncoder
 from legal_rag_tpu.models.train import make_train_step
 
+# Swept default (BASELINE.md recipe sweep: 4000 steps / p_sib 0.6 wins
+# both eval splits). The builder's store fingerprint derives its tag
+# from THIS constant, so changing the recipe invalidates stale stores.
+SIBLING_PROB_DEFAULT = 0.6
+
 
 def make_pairs(
     texts: Sequence[str],
@@ -73,7 +78,7 @@ def make_sibling_pairs(
     chunks: Sequence[dict],
     rng: np.random.Generator,
     span_words: Tuple[int, int] = (3, 13),
-    sibling_prob: float = 0.6,
+    sibling_prob: float = SIBLING_PROB_DEFAULT,
 ) -> Iterator[Tuple[str, str]]:
     """Pair stream mixing two positive distributions.
 
@@ -125,7 +130,7 @@ def finetune_encoder(
     log_every: int = 20,
     log_fn=None,
     chunks: Optional[Sequence[dict]] = None,
-    sibling_prob: float = 0.6,
+    sibling_prob: float = SIBLING_PROB_DEFAULT,
 ) -> Tuple[SentenceEncoder, List[float]]:
     """Fine-tune in place-ish: returns a NEW SentenceEncoder holding the
     trained params (tokenizer shared) plus the loss history.

@@ -643,6 +643,16 @@ def _pq_ivf_topk_impl(
     # everything), remaining slots go to the globally best cells. For
     # Q=1 this degenerates to the query's exact top-`probes`.
     cell_scores = queries @ centroids.T
+    # EMPTY pad cells (mesh-alignment padding in the sharded layout)
+    # must be unselectable by construction, not by centroid value: any
+    # sentinel centroid c scores q·c, whose SIGN depends on the query
+    # (a -1e30 fill ranks TOP for queries with negative coordinate
+    # sum). Validity comes from the ids: padding is tail-only within a
+    # cell, so a cell is empty iff its first member id is -1.
+    cell_valid = (
+        cell_doc_ids.reshape(n_cells, cell_size)[:, 0] >= 0
+    )
+    cell_scores = jnp.where(cell_valid[None, :], cell_scores, -jnp.inf)
     t = max(1, min(probes // q, n_cells))
     _, per_q = jax.lax.top_k(cell_scores, t)            # [Q, t]
     picked = jnp.zeros((n_cells,), jnp.float32).at[

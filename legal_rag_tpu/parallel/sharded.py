@@ -111,10 +111,14 @@ def _local_dense_topc(
         bn = TWOPHASE_BLOCK_N if q.dtype == jnp.bfloat16 else (
             TWOPHASE_BLOCK_N // 2
         )
+        # size the query tile to the actual batch: the default
+        # block_q=64 pads a q=8 single-query serving batch 8x wide
+        # through phase-1 MXU columns AND the phase-2 gather/rescore
+        bq = max(8, min(64, -(-q.shape[0] // 8) * 8))
         s, i = dense_topk_twophase_rm(
             q, docs_local, c, n_valid=n_valid,
             block_n=bn if aligned else 1024,
-            seg_rows=8, precision=precision,
+            block_q=bq, seg_rows=8, precision=precision,
         )
         gids = jnp.where(i >= 0, i + base, i)
         s = jnp.where((gids >= 0) & (gids < n_docs), s, -jnp.inf)
@@ -638,9 +642,11 @@ class ShardedIndex:
         """IVF-pruned PQ layout: cell-ordered codes row-sharded along
         cell boundaries, cell centroids and the global-id permutation
         sharded alongside. The cell count pads to the mesh with EMPTY
-        cells (ids -1, centroid -1e30 so probes never select them);
-        real padding already sits only in the corpus tail cell, so each
-        shard's validity stays a prefix.
+        cells (all ids -1); the probe kernel masks empty cells to -inf
+        by checking ids (a sentinel centroid value cannot guarantee
+        unselectability — its dot with the query has query-dependent
+        sign). Real padding already sits only in the corpus tail cell,
+        so each shard's validity stays a prefix.
         """
         from legal_rag_tpu.parallel.mesh import (
             device_put_global, make_mesh, replicate_global,
@@ -654,8 +660,8 @@ class ShardedIndex:
         d = ivf.centroids.shape[1]
         nc_pad = -(-n_cells // n_shards) * n_shards
 
-        cents = np.full((nc_pad, d), -1e30, np.float32)
-        cents[:n_cells] = ivf.centroids
+        cents = np.zeros((nc_pad, d), np.float32)  # value irrelevant:
+        cents[:n_cells] = ivf.centroids            # kernel masks by ids
         codes = np.zeros((nc_pad * s_cell, m), np.uint8)
         codes[: n_cells * s_cell] = ivf.codes
         ids = np.full((nc_pad * s_cell,), -1, np.int32)
@@ -808,13 +814,20 @@ class ShardedMultiVectorIndex:
         n, td, d = tokens.shape
         n_shards = mesh.shape[AXIS]
         n_pad = -(-n // n_shards) * n_shards
-        tpad = np.zeros((n_pad, td, d), dtype=np.float32)
-        tpad[:n] = np.asarray(tokens, dtype=np.float32)
+        # Allocate the padded slab directly at the TARGET dtype and
+        # fill in row chunks: the slab is the capacity-dominating
+        # artifact (Td x the embedding matrix; the source arrives as
+        # mmap'd float16), so a transient fp32 copy of all of it would
+        # double-to-quadruple peak host RAM at exactly the scale the
+        # tier exists for.
+        target = jnp.bfloat16 if dtype == "bfloat16" else np.float32
+        host = np.zeros((n_pad, td, d), dtype=target)
+        step = max(1, (1 << 28) // max(1, td * d * 4))  # ~256 MB chunks
+        for lo in range(0, n, step):
+            hi = min(lo + step, n)
+            host[lo:hi] = np.asarray(tokens[lo:hi]).astype(target)
         mpad = np.zeros((n_pad, td), dtype=np.int32)
         mpad[:n] = np.asarray(mask, dtype=np.int32)
-        host = tpad.astype(
-            jnp.bfloat16 if dtype == "bfloat16" else np.float32
-        )
         return cls(
             doc_tokens=device_put_global(host, mesh, P(AXIS, None, None)),
             doc_mask=device_put_global(mpad, mesh, P(AXIS, None)),

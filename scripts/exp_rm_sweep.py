@@ -48,7 +48,9 @@ def log(*a):
 def slope(make_fn, q, d, r1=4, r2=24):
     def loop(r, q, d):
         def step(i, acc):
-            qq = q * (1.0 + i.astype(q.dtype) * 0)
+            # i-dependence (epsilon-scaled, bf16-invisible) stops XLA
+            # hoisting the loop-invariant search out of the fori_loop
+            qq = q * (1.0 + i.astype(jnp.float32) * 1e-30).astype(q.dtype)
             s, ids = make_fn(qq, d)
             return acc + s.sum().astype(jnp.float32) + ids.sum().astype(
                 jnp.float32)

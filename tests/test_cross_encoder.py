@@ -106,6 +106,19 @@ def test_evaluate_rerank_report(corpus):
     for m in report["modes"].values():
         assert 0.0 <= m["mrr"] <= 1.0
 
+    # the one-pass alpha grid must match separate per-alpha calls (the
+    # gate runs the expensive retrieval + CE forward once and blends
+    # host-side per alpha)
+    grid = (0.25, 1.0)
+    multi = evaluate_rerank(store, pairs, ce, candidates=8, ks=(1, 5),
+                            config=rcfg, alphas=grid)
+    assert multi["best_alpha"] in grid
+    for a in grid:
+        single = evaluate_rerank(store, pairs, ce, candidates=8,
+                                 ks=(1, 5), config=rcfg, alpha=a)
+        assert (multi["modes"][f"reranked@{a}"]
+                == single["modes"]["reranked"])
+
 
 def test_ce_checkpoint_roundtrip_and_facade_autoenable(
     corpus, tmp_path, monkeypatch,
@@ -123,8 +136,14 @@ def test_ce_checkpoint_roundtrip_and_facade_autoenable(
 
     monkeypatch.setattr(
         eval_mod, "evaluate_rerank",
-        lambda *a, **kw: {"modes": {"base": {"mrr": 0.5},
-                                    "reranked": {"mrr": 0.6}}},
+        lambda *a, alphas=(0.1,), **kw: {
+            "best_alpha": alphas[0],
+            "modes": {
+                "base": {"mrr": 0.5},
+                "reranked": {"mrr": 0.6},
+                **{f"reranked@{al}": {"mrr": 0.6} for al in alphas},
+            },
+        },
     )
 
     chunks = [
@@ -215,8 +234,14 @@ def test_ce_validation_gate_rejects_harmful_reranker(
 
     monkeypatch.setattr(
         eval_mod, "evaluate_rerank",
-        lambda *a, **kw: {"modes": {"base": {"mrr": 0.9},
-                                    "reranked": {"mrr": 0.2}}},
+        lambda *a, alphas=(0.1,), **kw: {
+            "best_alpha": alphas[0],
+            "modes": {
+                "base": {"mrr": 0.9},
+                "reranked": {"mrr": 0.2},
+                **{f"reranked@{al}": {"mrr": 0.2} for al in alphas},
+            },
+        },
     )
     chunks = [
         {"text": t, "canonical_header": f"H{i}",

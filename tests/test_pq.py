@@ -625,3 +625,54 @@ def test_ivf_store_roundtrip_and_engine(corpus_texts, tmp_path_factory):
         ids_a = {x.doc_id for x in a}
         ids_b = {x.doc_id for x in b}
         assert len(ids_a & ids_b) >= 3
+
+
+def test_ivf_empty_pad_cells_unselectable_for_negative_queries():
+    """Empty mesh-pad cells must be unselectable BY IDS, not by a
+    sentinel centroid value. Regression: the sharded layout used to
+    fill pad centroids with -1e30, whose dot with any query of
+    negative coordinate sum is +1e30 — pad cells then TOP-ranked the
+    probe list and displaced real cells."""
+    from legal_rag_tpu.ops.pq import (
+        _pq_ivf_topk_impl, build_ivf, encode_pq, pq_topk, train_pq,
+    )
+
+    rng = np.random.default_rng(3)
+    docs = rng.standard_normal((96, D)).astype(np.float32)
+    docs /= np.linalg.norm(docs, axis=1, keepdims=True)
+    cb = train_pq(docs, m=M, iters=6, seed=0)
+    codes = encode_pq(docs, cb)
+    cs = 16
+    ivf = build_ivf(docs, cb, codes, cell_size=cs, iters=6, seed=0)
+    assert ivf.n_cells == 6
+
+    # append two EMPTY pad cells with the adversarial legacy fill
+    cents = np.vstack(
+        [ivf.centroids, np.full((2, D), -1e30, np.float32)]
+    )
+    codes_p = np.vstack([ivf.codes, np.zeros((2 * cs, M), np.uint8)])
+    ids_p = np.concatenate(
+        [ivf.doc_ids, np.full(2 * cs, -1, np.int32)]
+    )
+
+    # all-negative queries -> negative coordinate sum -> q . (-1e30
+    # * ones) is a huge POSITIVE score for the pad cells
+    q = -np.abs(rng.standard_normal((2, D))).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    assert (q.sum(axis=1) < 0).all()
+
+    k = 5
+    s, i = _pq_ivf_topk_impl(
+        jnp.asarray(q), jnp.asarray(cents), jnp.asarray(codes_p),
+        jnp.asarray(ids_p), jnp.asarray(cb.codebooks),
+        k, 6, cs, True,  # probes=6 == all REAL cells
+    )
+    i = np.asarray(i)
+    assert (i >= 0).all(), "probe slots were wasted on empty pad cells"
+
+    # with every real cell probed, results must equal the flat scan
+    fs, fi = pq_topk(
+        jnp.asarray(q), jnp.asarray(codes), cb.codebooks, k,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.sort(i, 1), np.sort(np.asarray(fi), 1))
