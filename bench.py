@@ -538,6 +538,33 @@ def main(metrics):
     return metrics
 
 
+def _probe_relay() -> bool:
+    """Device-backend health probe in a kill-able SUBPROCESS.
+
+    A fully-downed relay blocks jax's PJRT client constructor in C for
+    ~45 min, where SIGALRM cannot fire — probing in-process would hang
+    this run past any deadline. The subprocess inherits the full env
+    (so it exercises the exact backend path main() will take) and is
+    hard-killed on timeout.
+    """
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d = jax.devices(); "
+             "import jax.numpy as jnp; float(jnp.arange(4).sum()); "
+             "print(d[0].platform)"],
+            capture_output=True, text=True, timeout=150,
+        )
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+    except Exception as e:  # noqa: BLE001 - probe must never raise
+        log(f"relay probe error: {type(e).__name__}: {e}")
+        return False
+
+
 def run():
     """Deadline-guarded driver entry: the JSON line MUST appear even if
     a late measurement stalls on a wedged device relay."""
@@ -548,6 +575,23 @@ def run():
 
     enable_compile_cache(os.path.join(REPO, ".bench_cache", "jax"))
     _install_handler()
+    # Gate on relay health BEFORE any in-process jax init (un-killable
+    # C-level hang otherwise — see _probe_relay). Retry inside the
+    # budget: outages observed to clear within minutes.
+    while not _probe_relay():
+        if _remaining() < 240:
+            log("DIAGNOSTIC: device relay DOWN for the whole bench "
+                "budget — no measurement possible this run")
+            print(json.dumps({
+                "metric": "hybrid_search_qps_per_chip_batch64",
+                "value": 0.0,
+                "unit": "qps",
+                "vs_baseline": None,
+                "relay_down": True,
+            }))
+            return
+        log(f"relay probe failed; retrying ({_remaining():.0f}s left)")
+        time.sleep(45)
     try:
         main(metrics)
     except BenchDeadline:
