@@ -327,3 +327,44 @@ def test_twophase_rm_two_level_select_matches_golden(monkeypatch):
     )
     assert_topk_equiv(queries, docs, 10, s, i)
     assert list(np.asarray(i)[0][:3]) == [500, 7000, 9100]
+
+
+def test_twophase_rm_fuzz_configs():
+    """Randomized (n, k, seg_rows, block sizes, n_valid) sweep — the
+    production large-N kernel must match the stable float64 golden
+    (score desc, id asc) under every tiling/validity combination."""
+    from legal_rag_tpu.ops.dense import dense_topk_twophase_rm
+
+    rng = np.random.default_rng(17)
+    for trial in range(6):
+        n = int(rng.integers(300, 3000))
+        d = 32
+        q_n = int(rng.integers(1, 9))
+        k = int(rng.integers(1, 12))
+        seg_rows = int(rng.choice([1, 2, 4, 8]))
+        block_n = int(rng.choice([128, 256, 1024]))
+        n_valid = int(rng.integers(max(1, k), n + 1))
+        docs = rng.standard_normal((n, d)).astype(np.float32)
+        docs /= np.linalg.norm(docs, axis=1, keepdims=True)
+        # inject duplicates to exercise tie order
+        if n_valid > 10:
+            docs[n_valid // 2] = docs[n_valid - 1] = docs[0]
+        queries = rng.standard_normal((q_n, d)).astype(np.float32)
+        queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+        kk = min(k, n_valid)
+        s, i = dense_topk_twophase_rm(
+            jnp.asarray(queries), jnp.asarray(docs), kk,
+            n_valid=jnp.asarray(n_valid, jnp.int32),
+            block_n=block_n, block_q=8, seg_rows=seg_rows,
+            interpret=True,
+        )
+        i = np.asarray(i)
+        assert (i < n_valid).all() and (i >= 0).all(), (trial, n, n_valid)
+        sc = queries.astype(np.float64) @ docs[:n_valid].T.astype(
+            np.float64)
+        golden = np.lexsort((np.arange(n_valid)[None, :].repeat(
+            q_n, 0), -sc), axis=1)[:, :kk]
+        np.testing.assert_array_equal(
+            i, golden, err_msg=f"trial {trial}: n={n} k={kk} "
+            f"sr={seg_rows} bn={block_n} nv={n_valid}",
+        )
