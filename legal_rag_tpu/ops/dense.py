@@ -513,6 +513,10 @@ TWOPHASE_MIN_DOCS = 393216
 # of the doc matrix happens (measured +2.3 ms/1M docs when it does).
 TWOPHASE_BLOCK_N = 8192
 
+# Segment width for the production dispatch (scripts/exp_rm_sweep.py
+# pins the measured-best value; sharded._local_dense_topc uses this).
+TWOPHASE_SEG_ROWS = 8
+
 
 @functools.partial(
     jax.jit,

@@ -36,6 +36,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from legal_rag_tpu.ops.dense import (
     LARGE_N_THRESHOLD, TWOPHASE_BLOCK_N, TWOPHASE_MIN_DOCS,
+    TWOPHASE_SEG_ROWS,
     _SCORE_MATRIX_BUDGET_BYTES, dense_topk_twophase_rm,
 )
 from legal_rag_tpu.ops.fusion import rrf_fusion
@@ -118,7 +119,8 @@ def _local_dense_topc(
         s, i = dense_topk_twophase_rm(
             q, docs_local, c, n_valid=n_valid,
             block_n=bn if aligned else 1024,
-            block_q=bq, seg_rows=8, precision=precision,
+            block_q=bq, seg_rows=TWOPHASE_SEG_ROWS,
+            precision=precision,
         )
         gids = jnp.where(i >= 0, i + base, i)
         s = jnp.where((gids >= 0) & (gids < n_docs), s, -jnp.inf)
