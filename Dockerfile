@@ -23,10 +23,22 @@ RUN make -C legal_rag_tpu/native || true
 # The glob always matches (README.md anchors it), so a context without
 # a corpus still builds; serving can also build at first start from a
 # mounted corpus via LEGAL_RAG_CORPUS.
+#
+# RERANK_STEPS=auto trains the 12k-step cross-encoder ONLY when the
+# build host exposes a TPU: CE training is ~11 s/step on CPU (measured,
+# BASELINE.md reranker post-mortem), so a CPU-only `docker build` would
+# otherwise spend ~36 h in this RUN. Override with --build-arg
+# RERANK_STEPS=N to force a count on any platform.
+ARG FINETUNE_STEPS=4000
+ARG RERANK_STEPS=auto
 COPY README.md corpus* /corpus/
 RUN if ls /corpus/*.md /corpus/*.json >/dev/null 2>&1 \
         && [ "$(ls /corpus | grep -v '^README.md$' | head -1)" ]; then \
-        python -m legal_rag_tpu build --source /corpus --store /app/data/store --finetune-steps 4000 --rerank-steps 12000; \
+        RS="${RERANK_STEPS}"; \
+        if [ "$RS" = "auto" ]; then \
+            RS=$(python -c "import jax; print(12000 if jax.default_backend() == 'tpu' else 0)"); \
+        fi; \
+        python -m legal_rag_tpu build --source /corpus --store /app/data/store --finetune-steps ${FINETUNE_STEPS} --rerank-steps ${RS}; \
     fi
 
 ENV PORT=8000 LEGAL_RAG_STORE=/app/data/store
@@ -34,9 +46,14 @@ EXPOSE 8000
 HEALTHCHECK --interval=30s --timeout=5s \
     CMD curl -sf http://localhost:${PORT}/health || exit 1
 
-# build-at-boot fallback: LEGAL_RAG_CORPUS=/mounted/corpus
+# build-at-boot fallback: LEGAL_RAG_CORPUS=/mounted/corpus. The
+# finetune count adapts to the boot platform (4000 on TPU = the swept
+# serving default; 400 on CPU = the round-2 recipe that still passes
+# the 10/10 quality gate at ~260 s build) unless pinned via
+# LEGAL_RAG_BOOT_FINETUNE_STEPS.
 CMD ["sh", "-c", "\
     if [ ! -f ${LEGAL_RAG_STORE}/manifest.json ] && [ -n \"${LEGAL_RAG_CORPUS}\" ]; then \
-        python -m legal_rag_tpu build --source ${LEGAL_RAG_CORPUS} --store ${LEGAL_RAG_STORE} --finetune-steps 4000; \
+        FS=${LEGAL_RAG_BOOT_FINETUNE_STEPS:-$(python -c \"import jax; print(4000 if jax.default_backend() == 'tpu' else 400)\")}; \
+        python -m legal_rag_tpu build --source ${LEGAL_RAG_CORPUS} --store ${LEGAL_RAG_STORE} --finetune-steps ${FS}; \
     fi; \
     python -m legal_rag_tpu serve --store ${LEGAL_RAG_STORE} --port ${PORT}"]

@@ -119,7 +119,12 @@ def build_index(
     if ivf_cell_size:
         h.update(f"ivf:{ivf_cell_size}".encode())
     if rerank_steps:
-        h.update(f"rerank:{rerank_steps}".encode())
+        # "meanpool-hard" fingerprints the CE recipe (masked mean
+        # pooling forward + hard-negative listwise training + alpha
+        # gate); bump whenever the scoring/training recipe changes so
+        # a pre-existing store trained under an older recipe can never
+        # hash-match and get silently scored by the new forward
+        h.update(f"rerank:{rerank_steps}:meanpool-hard".encode())
     if multi_vector:
         h.update(f"mv:{multi_vector}".encode())
     if encoder is not None:

@@ -702,9 +702,13 @@ def pq_ivf_topk(
     cutting HBM traffic by ``n_cells/probes`` — the regime where the
     capacity tier lives (10M+ docs/chip) and the single-query latency
     path. Probes are a shared sorted union across the batch
-    (max-aggregated cell scores), so large diverse batches should
-    prefer the flat scan (which amortizes the full read anyway);
-    serving dispatches IVF only for small batches.
+    (max-aggregated cell scores) with each query guaranteed its own
+    top-(probes//Q) cells, so large diverse batches need a probe
+    budget that scales with Q — callers (parallel/sharded.py
+    ``_local_pq_ivf_topc``) raise the budget to ``>= 4*Q`` so every
+    query keeps at least 4 guaranteed cells; pass a larger ``probes``
+    directly for stricter recall, or use the flat scan (``pq_topk``)
+    when the batch is large enough to amortize the full read.
 
     Returns ``(pq_scores [Q, k], global_ids [Q, k])``; candidates feed
     :func:`legal_rag_tpu.ops.dense.exact_rescore` exactly like the

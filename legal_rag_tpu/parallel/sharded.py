@@ -175,10 +175,17 @@ def _local_pq_ivf_topc(
     the o(N) scan for the capacity tier. Ids arrive GLOBAL through the
     cell permutation (``ids_local``), so no base arithmetic; invalid
     slots are (-inf, -1) like every other local stage.
+
+    The probe set is SHARED across the batch with a per-query
+    guarantee of its own top-(probes//Q) cells, so a fixed budget
+    starves large diverse batches (at Q=64 with 64 probes each query
+    is guaranteed a single cell). The budget therefore scales with the
+    batch — every query keeps >= 4 guaranteed own cells — trading
+    bounded extra code reads for recall instead of silently degrading.
     """
     from legal_rag_tpu.ops.pq import _pq_ivf_topk_impl
 
-    p = min(probes, cent_local.shape[0])
+    p = min(max(probes, 4 * q.shape[0]), cent_local.shape[0])
     kk = min(c, p * cell_size)
     s, i = _pq_ivf_topk_impl(
         q, cent_local, codes_local, ids_local, codebooks,
