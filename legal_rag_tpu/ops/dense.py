@@ -31,6 +31,7 @@ golden, which is the same math FAISS flat performs):
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import numpy as np
@@ -482,6 +483,7 @@ def dense_topk_twophase(
 
 def _segmax_rm_kernel(
     nv_ref, qt_ref, d_ref, m_ref, *, block_n, seg_rows, precision,
+    transpose_out,
 ):
     """Row-major phase 1: [BN, D] doc tile x [D, BQ] queries -> [BN, BQ]
     scores on the MXU, then max over SUBLANE groups of ``seg_rows``
@@ -489,7 +491,15 @@ def _segmax_rm_kernel(
     doc matrix streams in its storage layout and phase 2's candidate
     gather later reads contiguous [D]-rows (the round-3 roofline
     finding — the column-major [D, N] gather cost 2.8 ms/1M docs in 384
-    strided 2-byte reads per doc, 5x the row gather)."""
+    strided 2-byte reads per doc, 5x the row gather).
+
+    ``transpose_out``: emit the tile QUERY-major ([BQ, BN/seg_rows]) so
+    phase 2 never pays the [n_segs, Q] -> [Q, n_segs] XLA transpose
+    (round-3 breakdown: the select stage cost 0.50 ms/1M docs, a large
+    part of it that 2x33 MB transpose). The in-tile transpose is XLU
+    work overlapped with the HBM-bound matmul; the lane dim stays
+    128-divisible via the ``block_n % (seg_rows*128) == 0`` contract.
+    """
     j = pl.program_id(1)
     s = jnp.dot(
         d_ref[:], qt_ref[:],
@@ -498,7 +508,8 @@ def _segmax_rm_kernel(
     row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + j * block_n
     s = jnp.where(row < nv_ref[0], s, _NEG_F32)
     bn, bq = s.shape
-    m_ref[:] = jnp.max(s.reshape(bn // seg_rows, seg_rows, bq), axis=1)
+    m = jnp.max(s.reshape(bn // seg_rows, seg_rows, bq), axis=1)
+    m_ref[:] = m.T if transpose_out else m
 
 
 # Per-shard doc count at which the row-major two-phase kernel becomes
@@ -522,6 +533,7 @@ TWOPHASE_SEG_ROWS = 8
     jax.jit,
     static_argnames=(
         "k", "block_n", "block_q", "seg_rows", "interpret", "precision",
+        "kernel_transpose",
     ),
 )
 def dense_topk_twophase_rm(
@@ -535,6 +547,7 @@ def dense_topk_twophase_rm(
     seg_rows: int = 8,
     interpret: bool = False,
     precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
+    kernel_transpose: Optional[bool] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Row-major large-N exact top-k: the production dense backend at
     scale (slope-measured 2.2 ms vs XLA dot+top_k's 3.9 ms per
@@ -557,6 +570,22 @@ def dense_topk_twophase_rm(
     asc) final order, ``n_valid`` masking for mesh callers. Tie
     contract: exact when < ``_TIE_OVERSAMPLE`` segments tie exactly at
     the selection boundary (the rescore then orders exactly).
+
+    Round-4 phase-2 rework (the fixed ~1 ms at 1M docs was the whole
+    gap between 46% end-to-end and 84% phase-1 HBM efficiency —
+    VERDICT r3 item 4):
+
+    - ``kernel_transpose`` (default on; env
+      ``LEGAL_RAG_RM_NO_KERNEL_T=1`` reverts): phase 1 emits tiles
+      already QUERY-major, killing the 2x33 MB [n_segs, Q] transpose.
+    - the candidate gather moves whole SEGMENTS (one contiguous
+      ``seg_rows*D``-byte row of the freely-reshaped
+      ``[N/seg_rows, seg_rows*D]`` view — 6 KB at sr=8/bf16) instead
+      of ``seg_rows`` separate 768 B doc rows.
+    - the rescore keeps bf16 operands on the MXU with fp32
+      accumulation (bf16 products are exact in f32 — no f32 upcast
+      copy of the gathered block is materialized); mixed-dtype inputs
+      fall back to the upcast path.
     """
     q, d = queries.shape
     n, d2 = docs.shape
@@ -565,6 +594,10 @@ def dense_topk_twophase_rm(
         f"block_n {block_n} must be a multiple of seg_rows*128 "
         f"({seg_rows * 128})"
     )
+    if kernel_transpose is None:
+        kernel_transpose = os.environ.get(
+            "LEGAL_RAG_RM_NO_KERNEL_T", ""
+        ) != "1"
     qp = -(-q // block_q) * block_q
     bq = min(block_q, qp)
     np_ = -(-n // block_n) * block_n
@@ -579,9 +612,16 @@ def dense_topk_twophase_rm(
     )
     kernel = functools.partial(
         _segmax_rm_kernel, block_n=block_n, seg_rows=seg_rows,
-        precision=precision,
+        precision=precision, transpose_out=kernel_transpose,
     )
-    seg_m_t = pl.pallas_call(
+    n_segs = nb * segs_per_block
+    if kernel_transpose:
+        out_specs = pl.BlockSpec((bq, segs_per_block), lambda i, j: (i, j))
+        out_shape = jax.ShapeDtypeStruct((qp, n_segs), jnp.float32)
+    else:
+        out_specs = pl.BlockSpec((segs_per_block, bq), lambda i, j: (j, i))
+        out_shape = jax.ShapeDtypeStruct((n_segs, qp), jnp.float32)
+    seg_m = pl.pallas_call(
         kernel,
         grid=(qp // bq, nb),
         in_specs=[
@@ -589,19 +629,16 @@ def dense_topk_twophase_rm(
             pl.BlockSpec((d, bq), lambda i, j: (0, i)),
             pl.BlockSpec((block_n, d), lambda i, j: (j, 0)),
         ],
-        out_specs=pl.BlockSpec(
-            (segs_per_block, bq), lambda i, j: (j, i)
-        ),
-        out_shape=jax.ShapeDtypeStruct(
-            (nb * segs_per_block, qp), jnp.float32
-        ),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(nv, qt, docs_p)
+    if not kernel_transpose:
+        seg_m = seg_m.T
 
-    # phase 2: transpose to query-major, select segments, row-gather
-    n_segs = nb * segs_per_block
+    # phase 2: select segments (query-major), segment-granularity gather
     kk = min(k + _TIE_OVERSAMPLE, n_segs)
-    seg_pos = _select_segments(seg_m_t.T, kk, n_segs)           # [Qp, kk]
+    seg_pos = _select_segments(seg_m, kk, n_segs)               # [Qp, kk]
 
     # contiguous members: segment s = docs [s*seg_rows, (s+1)*seg_rows)
     cand_ids = (
@@ -609,14 +646,28 @@ def dense_topk_twophase_rm(
         + jax.lax.broadcasted_iota(jnp.int32, (qp, kk, seg_rows), 2)
     )
     cand_flat = cand_ids.reshape(qp, kk * seg_rows)
-    cand_safe = jnp.clip(cand_flat, 0, np_ - 1)
 
-    gathered = jnp.take(docs_p, cand_safe, axis=0)              # [Qp, C, D]
-    scores = jnp.einsum(
-        "qd,qcd->qc", queries_p.astype(jnp.float32),
-        gathered.astype(jnp.float32),
-        precision=precision,
-    )
+    # one gather row per SEGMENT: [N/sr, sr*D] is a free (bitcast)
+    # reshape of the row-major doc matrix, so each candidate segment
+    # arrives as a single contiguous sr*D*itemsize-byte read
+    docs_seg = docs_p.reshape(np_ // seg_rows, seg_rows * d)
+    seg_safe = jnp.clip(seg_pos, 0, np_ // seg_rows - 1)
+    gathered = jnp.take(docs_seg, seg_safe, axis=0).reshape(
+        qp, kk * seg_rows, d
+    )                                                           # [Qp, C, D]
+    if queries_p.dtype == gathered.dtype:
+        # bf16 x bf16 products are exact in the fp32 accumulator — no
+        # upcast copy of the [Qp, C, D] block
+        scores = jnp.einsum(
+            "qd,qcd->qc", queries_p, gathered,
+            precision=precision, preferred_element_type=jnp.float32,
+        )
+    else:
+        scores = jnp.einsum(
+            "qd,qcd->qc", queries_p.astype(jnp.float32),
+            gathered.astype(jnp.float32),
+            precision=precision,
+        )
     limit = jnp.minimum(jnp.int32(n), nv[0])
     scores = jnp.where(cand_flat < limit, scores, -jnp.inf)
 

@@ -109,21 +109,36 @@ def main():
     log(f"xla dot+top_k: {dt*1e3:8.3f} ms  ({gb/dt:5.0f} GB/s)  "
         f"compile {tc:.1f}s")
 
+    # kt=True is the round-4 in-kernel-transpose phase-2 (the default);
+    # every config retries kt=False on failure so a Mosaic rejection of
+    # the transposed output tile still yields sweep data AND tells us
+    # to flip the production default (LEGAL_RAG_RM_NO_KERNEL_T).
     for bn, sr in CONFIGS:
-        def rm_one(qq, d, bn=bn, sr=sr):
-            return dense_topk_twophase_rm(
-                qq, d, K, block_n=bn, seg_rows=sr,
-                precision=jax.lax.Precision.DEFAULT,
-            )
-        try:
-            dt, tc, out = slope(rm_one, q16, d_rm)
-            r = recall(out[1], ref_ids)
-            log(f"rm bn={bn:<6} sr={sr:<3}: {dt*1e3:8.3f} ms  "
-                f"({gb/dt:5.0f} GB/s eff, {gb/dt/819*100:4.1f}% peak)  "
-                f"recall@{K}={r:.4f}  compile {tc:.1f}s")
-        except Exception as e:  # noqa: BLE001 — sweep survives bad cfg
-            log(f"rm bn={bn:<6} sr={sr:<3}: FAILED {type(e).__name__}: "
-                f"{str(e)[:120]}")
+        # the shipped default measures BOTH variants (quantifies the
+        # in-kernel-transpose win); other configs run kt=True and only
+        # fall back to kt=False on failure
+        both = (bn, sr) == (8192, 8)
+        for kt in (True, False):
+            def rm_one(qq, d, bn=bn, sr=sr, kt=kt):
+                return dense_topk_twophase_rm(
+                    qq, d, K, block_n=bn, seg_rows=sr,
+                    precision=jax.lax.Precision.DEFAULT,
+                    kernel_transpose=kt,
+                )
+            ok = False
+            try:
+                dt, tc, out = slope(rm_one, q16, d_rm)
+                r = recall(out[1], ref_ids)
+                log(f"rm bn={bn:<6} sr={sr:<3} kt={int(kt)}: "
+                    f"{dt*1e3:8.3f} ms  "
+                    f"({gb/dt:5.0f} GB/s eff, {gb/dt/819*100:4.1f}% peak)  "
+                    f"recall@{K}={r:.4f}  compile {tc:.1f}s")
+                ok = True
+            except Exception as e:  # noqa: BLE001 — sweep survives bad cfg
+                log(f"rm bn={bn:<6} sr={sr:<3} kt={int(kt)}: FAILED "
+                    f"{type(e).__name__}: {str(e)[:120]}")
+            if ok and not both:
+                break
 
 
 if __name__ == "__main__":
