@@ -240,7 +240,8 @@ def _cmd_eval_retrieval(args) -> int:
         if args.include_pq:
             modes.append("pq")   # capacity-tier candidate coverage
         if args.include_maxsim:
-            modes.append("maxsim")   # late-interaction tier
+            # full-scan + capacity-safe dense-first variants
+            modes.extend(["maxsim", "maxsim-rerank"])
         engine = RetrievalEngine(store)
         report = evaluate_store(
             store, pairs, modes=tuple(modes), engine=engine
@@ -332,9 +333,11 @@ def main(argv=None) -> int:
     p.add_argument("--weight", type=float, default=0.5)
     p.add_argument(
         "--mode", default=None,
-        choices=["weighted", "rrf", "maxsim"],
+        choices=["weighted", "rrf", "maxsim", "maxsim-rerank"],
         help="fusion/scoring mode (default: config fusion mode; "
-             "maxsim needs a store built with --multi-vector)",
+             "maxsim/maxsim-rerank need a store built with "
+             "--multi-vector; -rerank late-interacts only the dense "
+             "top-C candidates — the capacity-safe variant)",
     )
     p.set_defaults(fn=_cmd_search)
 

@@ -331,11 +331,14 @@ def evaluate_store(
                 engine=eng_pq, mode="weighted",
                 hybrid_weights=[0.0] * chunk,
             ))
-        elif mode == "maxsim":
+        elif mode in ("maxsim", "maxsim-rerank"):
             # late-interaction tier (requires build --multi-vector);
-            # its delta vs 'dense' is what token-level interaction buys
+            # its delta vs 'dense' is what token-level interaction
+            # buys; 'maxsim-rerank' additionally measures what the
+            # bounded dense-first candidate stage costs vs the full
+            # slab scan
             ranked = ids_from_results(batched_search(
-                engine=engine, mode="maxsim", hybrid_weights=None,
+                engine=engine, mode=mode, hybrid_weights=None,
             ))
         else:
             raise ValueError(f"unknown mode {mode!r}")

@@ -91,6 +91,85 @@ def maxsim_topk(
     return top_s, top_i.astype(jnp.int32)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("k", "precision")
+)
+def maxsim_rescore(
+    q_tokens: jax.Array,    # [Q, Tq, D] query token embeddings
+    q_mask: jax.Array,      # [Q, Tq] 1 = real token
+    doc_tokens: jax.Array,  # [N, Td, D] token slab
+    doc_mask: jax.Array,    # [N, Td]
+    cand_ids: jax.Array,    # [Q, C] doc ids (may contain invalid < 0
+                            #        or >= n_valid slots)
+    k: int,
+    precision: jax.lax.Precision = jax.lax.Precision.DEFAULT,
+    n_valid: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """MaxSim over a bounded CANDIDATE set — the capacity-safe tier.
+
+    The full-scan :func:`maxsim_topk` reads the whole ``[N, Td, D]``
+    slab (Td x the single-vector matrix — 32x HBM at the default
+    budget, worse than the problem PQ solves). This instead gathers
+    only the ``C`` dense-stage candidates' slabs (one contiguous
+    ``Td*D``-itemsize row each via the free ``[N, Td*D]`` reshape —
+    24 KB at Td=32/bf16) and late-interacts just those:
+    ``O(C * Td * D)`` HBM per query instead of ``O(N * Td * D)``.
+    Recall then hinges on the single-vector candidate stage, measured
+    on the eval splits (EVAL_RETRIEVAL.json maxsim-rerank rows).
+
+    Returns ``(scores [Q, k], ids [Q, k] i32)`` in (score desc, id
+    asc) order; invalid candidates (id < 0, >= ``n_valid``, or
+    duplicate padding) come last as ``(-inf, -1)``.
+    """
+    q, tq, d = q_tokens.shape
+    n, td, _ = doc_tokens.shape
+    _, c = cand_ids.shape
+    limit = jnp.asarray(n if n_valid is None else n_valid, jnp.int32)
+    valid = (cand_ids >= 0) & (cand_ids < limit)
+    safe = jnp.clip(cand_ids, 0, n - 1)
+
+    # one contiguous row per candidate doc: [N, Td*D] is a free
+    # (bitcast) view of the row-major slab
+    flat = doc_tokens.reshape(n, td * d)
+    g = jnp.take(flat, safe, axis=0).reshape(q, c, td, d)  # [Q, C, Td, D]
+    gm = jnp.take(doc_mask, safe, axis=0)                  # [Q, C, Td]
+
+    if q_tokens.dtype == g.dtype:
+        sims = jnp.einsum(
+            "qtd,qcsd->qtcs", q_tokens, g,
+            precision=precision, preferred_element_type=jnp.float32,
+        )
+    else:
+        sims = jnp.einsum(
+            "qtd,qcsd->qtcs", q_tokens.astype(jnp.float32),
+            g.astype(jnp.float32), precision=precision,
+        )
+    sims = jnp.where(gm[:, None, :, :] > 0, sims, -jnp.inf)
+    best = jnp.max(sims, axis=3)                           # [Q, Tq, C]
+    best = jnp.where(jnp.isfinite(best), best, 0.0)
+    best = best * (q_mask[:, :, None] > 0)
+    scores = jnp.sum(best, axis=1)                         # [Q, C]
+    scores = jnp.where(valid, scores, -jnp.inf)
+
+    # (score desc, id asc); invalid slots sink last with unique keys
+    slot = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    sort_ids = jnp.where(valid, safe, n + slot)
+    kk = min(k, c)
+    neg_s, ids_sorted = jax.lax.sort(
+        (-scores, sort_ids), num_keys=2, dimension=1
+    )
+    out_s = -neg_s[:, :kk]
+    out_i = jnp.where(ids_sorted[:, :kk] >= n, -1, ids_sorted[:, :kk])
+    if kk < k:
+        out_s = jnp.concatenate(
+            [out_s, jnp.full((q, k - kk), -jnp.inf, out_s.dtype)], axis=1
+        )
+        out_i = jnp.concatenate(
+            [out_i, jnp.full((q, k - kk), -1, out_i.dtype)], axis=1
+        )
+    return out_s, out_i.astype(jnp.int32)
+
+
 @dataclasses.dataclass
 class MultiVectorIndex:
     """Token-level index for late-interaction search."""

@@ -596,6 +596,110 @@ def sharded_maxsim_topk(
     )(doc_tokens, doc_mask, q_tokens, q_mask)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "k", "c", "n_docs", "block_n", "block_q", "precision",
+    ),
+)
+def sharded_maxsim_rerank_topk(
+    docs: jax.Array,         # [Npad, D] single-vector matrix, row-sharded
+    doc_tokens: jax.Array,   # [Npad, Td, D] token slab, row-sharded
+    doc_mask: jax.Array,     # [Npad, Td] row-sharded
+    q_emb: jax.Array,        # [Q, D] sentence embeddings, replicated
+    q_tokens: jax.Array,     # [Q, Tq, D] query token embeddings, replicated
+    q_mask: jax.Array,       # [Q, Tq] replicated
+    *,
+    mesh: Mesh,
+    k: int,
+    c: int,
+    n_docs: int,
+    block_n: int = 1024,
+    block_q: int = 8,
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
+) -> Tuple[jax.Array, jax.Array]:
+    """Dense-first late interaction: the capacity-safe MaxSim tier.
+
+    :func:`sharded_maxsim_topk` streams the FULL ``[N, Td, D]`` token
+    slab every query batch — Td x the single-vector HBM traffic, which
+    caps the tier's corpus size (ARCHITECTURE.md capacity table). This
+    variant runs the ordinary single-vector dense stage first (each
+    shard's top-``c`` via the measured dense dispatch), then
+    MaxSim-rescores ONLY those candidates against the shard-local slab
+    (:func:`legal_rag_tpu.ops.maxsim.maxsim_rescore` — one contiguous
+    ``Td*D`` row per candidate), so per-batch slab traffic is
+    ``O(c * Td * D)`` per shard instead of ``O(N_local * Td * D)``.
+
+    The slab stays row-sharded exactly like ``docs``, candidates stay
+    local to their shard (no cross-shard slab reads), and the usual
+    ``all_gather`` + two-key sort merges per-shard winners. MaxSim
+    recall then hinges on the dense candidate stage covering the true
+    MaxSim winners — measured on the eval splits, not assumed
+    (EVAL_RETRIEVAL.json maxsim-rerank rows).
+
+    Returns ``(scores [Q, k] f32, ids [Q, k] i32)``, (score desc, id
+    asc), ``(-inf, -1)`` beyond the corpus.
+    """
+    from legal_rag_tpu.ops.maxsim import maxsim_rescore
+
+    n_shards = mesh.shape[AXIS]
+    n_pad = docs.shape[0]
+    n_local = n_pad // n_shards
+    cl = min(c, n_local)
+    kl = min(k, cl)
+
+    def body(d_local, dt, dm, qe, qt, qm):
+        q = qe.shape[0]
+        shard = jax.lax.axis_index(AXIS)
+        base = (shard * n_local).astype(jnp.int32)
+        n_valid = jnp.clip(n_docs - base, 0, n_local)
+
+        d_s, d_i = _local_dense_topc(
+            qe, d_local, base, n_docs, cl, precision, False,
+            block_n, block_q,
+        )
+        local_ids = jnp.where(d_i >= 0, d_i - base, -1)
+        s, i = maxsim_rescore(
+            qt, qm, dt, dm, local_ids, kl, n_valid=n_valid,
+        )
+        bad = (i < 0) | ~jnp.isfinite(s)
+        gids = jnp.where(bad, jnp.int32(-1), i + base)
+        s = jnp.where(bad, -jnp.inf, s)
+        if kl < k:
+            s = jnp.concatenate(
+                [s, jnp.full((q, k - kl), -jnp.inf, s.dtype)], axis=1
+            )
+            gids = jnp.concatenate(
+                [gids, jnp.full((q, k - kl), -1, gids.dtype)], axis=1
+            )
+
+        all_s = jax.lax.all_gather(s, AXIS)          # [S, Q, k]
+        all_i = jax.lax.all_gather(gids, AXIS)
+        all_s = all_s.transpose(1, 0, 2).reshape(q, n_shards * k)
+        all_i = all_i.transpose(1, 0, 2).reshape(q, n_shards * k)
+
+        slot = jax.lax.broadcasted_iota(jnp.int32, all_i.shape, 1)
+        sort_ids = jnp.where(all_i < 0, n_docs + slot, all_i)
+        neg_s, ids_sorted = jax.lax.sort(
+            (-all_s, sort_ids), num_keys=2, dimension=1
+        )
+        out_s = -neg_s[:, :k]
+        out_i = ids_sorted[:, :k]
+        out_i = jnp.where(out_i >= n_docs, -1, out_i)
+        return out_s, out_i.astype(jnp.int32)
+
+    return shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P(AXIS, None), P(AXIS, None, None), P(AXIS, None),
+            P(None, None), P(None, None, None), P(None, None),
+        ),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,
+    )(docs, doc_tokens, doc_mask, q_emb, q_tokens, q_mask)
+
+
 @dataclasses.dataclass
 class ShardedIndex:
     """Device-resident sharded index handle.
@@ -814,6 +918,7 @@ class ShardedMultiVectorIndex:
         mask: np.ndarray,        # [N, Td]
         mesh: Optional[Mesh] = None,
         dtype: str = "bfloat16",
+        n_pad: Optional[int] = None,
     ) -> "ShardedMultiVectorIndex":
         from legal_rag_tpu.parallel.mesh import (
             device_put_global, make_mesh,
@@ -822,7 +927,15 @@ class ShardedMultiVectorIndex:
         mesh = mesh or make_mesh()
         n, td, d = tokens.shape
         n_shards = mesh.shape[AXIS]
-        n_pad = -(-n // n_shards) * n_shards
+        # ``n_pad``: callers serving the maxsim-rerank tier pass the
+        # SAME padded row count as their ShardedIndex so each global
+        # doc id lands on the same shard in both layouts (the local
+        # rescore reads the shard-local slab by ``id - base``)
+        if n_pad is None:
+            n_pad = -(-n // n_shards) * n_shards
+        assert n_pad % n_shards == 0 and n_pad >= n, (
+            f"n_pad {n_pad} must be a >=N multiple of {n_shards}"
+        )
         # Allocate the padded slab directly at the TARGET dtype and
         # fill in row chunks: the slab is the capacity-dominating
         # artifact (Td x the embedding matrix; the source arrives as
@@ -852,4 +965,34 @@ class ShardedMultiVectorIndex:
             self.doc_tokens, self.doc_mask, q_tokens,
             jnp.asarray(q_mask), mesh=self.mesh,
             k=min(k, self.n_docs), n_docs=self.n_docs, block_n=block_n,
+        )
+
+    def rerank_search(
+        self,
+        index: "ShardedIndex",   # the single-vector tier (same padding!)
+        q_emb, q_tokens, q_mask, k: int, c: int,
+        block_n: int = 1024, block_q: int = 8,
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Dense-first MaxSim: candidates from ``index``'s float tier,
+        late interaction only on those (bounded slab reads — see
+        :func:`sharded_maxsim_rerank_topk`)."""
+        if index.docs.dtype not in (jnp.float32, jnp.bfloat16):
+            raise ValueError(
+                "maxsim-rerank needs a float/bf16 dense tier for the "
+                f"candidate stage (got {index.docs.dtype}); serve the "
+                "quantized tiers with mode='maxsim' or 'weighted'"
+            )
+        assert index.docs.shape[0] == self.doc_tokens.shape[0], (
+            "single-vector matrix and token slab must share row "
+            f"padding ({index.docs.shape[0]} vs "
+            f"{self.doc_tokens.shape[0]}); build the slab with "
+            "n_pad=index.docs.shape[0]"
+        )
+        q_tokens = jnp.asarray(q_tokens, dtype=self.doc_tokens.dtype)
+        return sharded_maxsim_rerank_topk(
+            index.docs, self.doc_tokens, self.doc_mask,
+            jnp.asarray(q_emb, index.docs.dtype), q_tokens,
+            jnp.asarray(q_mask), mesh=self.mesh,
+            k=min(k, self.n_docs), c=c, n_docs=self.n_docs,
+            block_n=block_n, block_q=block_q,
         )

@@ -227,14 +227,28 @@ class RetrievalEngine:
         queries = list(queries) + [""] * (q_pad - n_real)
         hybrid_weights = list(hybrid_weights) + [0.0] * (q_pad - n_real)
 
-        if mode == "maxsim":
-            # late-interaction tier: token-level MaxSim scan over the
-            # sharded [N, Td, D] slab (ops/maxsim.py); no sparse side
+        if mode in ("maxsim", "maxsim-rerank"):
+            # late-interaction tier: token-level MaxSim over the
+            # sharded [N, Td, D] slab (ops/maxsim.py); no sparse side.
+            # "maxsim" full-scans the slab (exact, O(N*Td*D) HBM —
+            # capacity-capped, see ARCHITECTURE.md); "maxsim-rerank"
+            # runs the single-vector dense stage first and
+            # late-interacts only its top-C candidates (bounded slab
+            # reads — the capacity-safe default for big corpora).
             mv = self.mv_index     # raises early when artifacts absent
             with self.timer.stage("encode"):
                 q_tok, q_mask = self._encode_query_tokens(queries)
             with self.timer.stage("device_search"):
-                s, i = mv.search(q_tok, q_mask, k)
+                if mode == "maxsim":
+                    s, i = mv.search(q_tok, q_mask, k)
+                else:
+                    q_emb = self.encoder.encode(queries)
+                    s, i = mv.rerank_search(
+                        self.index, jnp.asarray(q_emb), q_tok, q_mask,
+                        k, c=max(cfg.fusion.candidate_multiplier * k, k),
+                        block_n=cfg.dense.block_n,
+                        block_q=cfg.dense.block_q,
+                    )
                 scores, ids = np.asarray(s), np.asarray(i)
             sem, key = scores, np.zeros_like(scores)
             return self._assemble_results(n_real, k, scores, ids, sem, key)
@@ -344,7 +358,11 @@ class RetrievalEngine:
             )
 
             mv = ShardedMultiVectorIndex.from_arrays(
-                self.store.mv_tokens, self.store.mv_mask, self.mesh
+                self.store.mv_tokens, self.store.mv_mask, self.mesh,
+                # match the dense tier's row padding so maxsim-rerank's
+                # shard-local candidate rescore sees every candidate's
+                # tokens on its own shard
+                n_pad=int(self.index.docs.shape[0]),
             )
             self._mv_index = mv
         return mv

@@ -147,3 +147,62 @@ def test_multivector_searcher_end_to_end(corpus_texts):
     for row, expected in zip(ids, probe_ids):
         assert row[0] == expected, (row, expected)
     assert scores.shape == (3, 3)
+
+
+# ---------------------------------------------------------------------------
+# Candidate-bounded rescore (round 4: the capacity-safe tier)
+# ---------------------------------------------------------------------------
+
+
+def test_maxsim_rescore_full_coverage_matches_topk(data):
+    """With candidates covering the whole corpus, the bounded rescore
+    must reproduce the full scan exactly (scores, ids, tie order)."""
+    from legal_rag_tpu.ops.maxsim import maxsim_rescore
+
+    q_tokens, q_mask, doc_tokens, doc_mask = data
+    n = doc_tokens.shape[0]
+    ref_s, ref_i = maxsim_topk(
+        jnp.asarray(q_tokens), jnp.asarray(q_mask),
+        jnp.asarray(doc_tokens), jnp.asarray(doc_mask),
+        k=10, block_n=128,
+    )
+    cand = np.tile(np.arange(n, dtype=np.int32), (q_tokens.shape[0], 1))
+    s, i = maxsim_rescore(
+        jnp.asarray(q_tokens), jnp.asarray(q_mask),
+        jnp.asarray(doc_tokens), jnp.asarray(doc_mask),
+        jnp.asarray(cand), k=10,
+    )
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_i))
+    np.testing.assert_allclose(
+        np.asarray(s), np.asarray(ref_s), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_maxsim_rescore_invalid_candidates_sink(data):
+    """Ids < 0, >= n_valid, and padding slots come last as (-inf, -1)."""
+    from legal_rag_tpu.ops.maxsim import maxsim_rescore
+
+    q_tokens, q_mask, doc_tokens, doc_mask = data
+    golden = golden_maxsim(q_tokens, q_mask, doc_tokens, doc_mask)
+    cand = np.array(
+        [[5, -1, 17, 250, 299, 3],
+         [0, 1, 2, -1, -1, -1],
+         [299, 298, 297, 296, 295, 294]], dtype=np.int32,
+    )
+    s, i = maxsim_rescore(
+        jnp.asarray(q_tokens), jnp.asarray(q_mask),
+        jnp.asarray(doc_tokens), jnp.asarray(doc_mask),
+        jnp.asarray(cand), k=6,
+        n_valid=jnp.asarray(298, jnp.int32),   # 298, 299 invalid
+    )
+    s, i = np.asarray(s), np.asarray(i)
+    # row 0: 299 invalid, -1 invalid -> 4 valid candidates
+    row_valid = [c for c in cand[0] if 0 <= c < 298]
+    expect = sorted(
+        row_valid, key=lambda c: (-golden[0, c], c)
+    )
+    assert list(i[0, :4]) == expect
+    assert list(i[0, 4:]) == [-1, -1]
+    assert not np.isfinite(s[0, 4:]).any()
+    # row 2: only 294-297 valid
+    assert set(i[2][i[2] >= 0]) == {294, 295, 296, 297}

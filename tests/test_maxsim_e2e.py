@@ -155,3 +155,56 @@ def test_evaluate_store_scores_maxsim(mv_store):
     mx = report["modes"]["maxsim"]
     # exact self-text queries: late interaction must nail recall@1
     assert mx["recall@1"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# Dense-first rerank tier (round 4: bounded slab reads)
+# ---------------------------------------------------------------------------
+
+
+def test_sharded_rerank_full_c_matches_full_scan(mv_store):
+    """With c covering every shard-local doc, dense-first MaxSim must
+    equal the full scan exactly, bit-identical across mesh shapes."""
+    from legal_rag_tpu.parallel.sharded import ShardedIndex
+
+    toks = np.asarray(mv_store.mv_tokens, np.float32)
+    mask = np.asarray(mv_store.mv_mask, np.int32)
+    emb = np.asarray(mv_store.embeddings, np.float32)
+    n = mv_store.n_docs
+    rng = np.random.default_rng(17)
+    q_emb = emb[[3, 50, 70, 11]] + 0.01 * rng.standard_normal(
+        (4, mv_store.dim)
+    ).astype(np.float32)
+    q = rng.standard_normal((4, 6, mv_store.dim)).astype(np.float32)
+    qm = np.ones((4, 6), np.int32)
+
+    ref_s, ref_i = maxsim_topk(
+        jnp.asarray(q), jnp.asarray(qm),
+        jnp.asarray(toks), jnp.asarray(mask), k=7, block_n=64,
+    )
+    for n_dev in (1, 4, 8):
+        mesh = make_mesh(n_dev)
+        sidx = ShardedIndex.from_embeddings(emb, mesh, dtype="float32")
+        midx = ShardedMultiVectorIndex.from_arrays(
+            toks, mask, mesh, dtype="float32",
+            n_pad=int(sidx.docs.shape[0]),
+        )
+        s, i = midx.rerank_search(
+            sidx, q_emb, q, qm, k=7, c=n,  # full local coverage
+        )
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_i))
+        np.testing.assert_allclose(
+            np.asarray(s), np.asarray(ref_s), rtol=1e-5, atol=1e-6
+        )
+
+
+def test_engine_maxsim_rerank_self_retrieval(mv_store, corpus_texts):
+    engine = RetrievalEngine(mv_store, config=TINY_CFG)
+    probe = [10, 33, 61]
+    rows = engine.search_batch(
+        [corpus_texts[i] for i in probe], k=3, mode="maxsim-rerank"
+    )
+    for row, expected in zip(rows, probe):
+        assert row, "maxsim-rerank mode returned no results"
+        assert row[0].doc_id == expected
+        assert row[0].keyword == 0.0            # no sparse side
