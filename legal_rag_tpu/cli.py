@@ -176,10 +176,43 @@ def _cmd_convert(args) -> int:
 def _cmd_eval(args) -> int:
     from legal_rag_tpu.quality import run_quality_eval
 
-    report = run_quality_eval(args.store, report_path=args.report)
+    report = run_quality_eval(
+        args.store, report_path=args.report,
+        include_paraphrase=args.include_paraphrase,
+    )
     passed = sum(1 for r in report["results"] if r["passed"])
     print(f"quality eval: {passed}/{len(report['results'])} passed")
-    return 0 if passed == len(report["results"]) else 1
+    ok = passed == len(report["results"])
+    if args.include_paraphrase:
+        para = report["paraphrase"]
+        print(
+            f"paraphrase gate: {para['passed']}/{para['total']} grounded "
+            f"(threshold {para['threshold']}) -> "
+            f"{'PASS' if para['gate_passed'] else 'FAIL'}"
+        )
+        ok = ok and para["gate_passed"]
+    return 0 if ok else 1
+
+
+def _cmd_eval_gate(args) -> int:
+    """Big-split retrieval gate: pinned serving thresholds over the
+    structure + sibling-span splits (quality.py
+    RETRIEVAL_GATE_THRESHOLDS)."""
+    from legal_rag_tpu.index.store import VectorStore
+    from legal_rag_tpu.quality import run_retrieval_gate
+
+    store = VectorStore.load(args.store)
+    report = run_retrieval_gate(
+        store, max_queries=args.max_queries, report_path=args.report
+    )
+    for c in report["checks"]:
+        status = "PASS" if c["passed"] else "FAIL"
+        print(
+            f"  [{status}] {c['split']}/{c['mode']} {c['metric']}: "
+            f"{c['measured']:.4f} (floor {c['threshold']})"
+        )
+    print(f"retrieval gate: {'PASS' if report['gate_passed'] else 'FAIL'}")
+    return 0 if report["gate_passed"] else 1
 
 
 def _cmd_eval_retrieval(args) -> int:
@@ -262,7 +295,13 @@ def _cmd_eval_retrieval(args) -> int:
         )
         show("store encoder (paraphrase/sibling-span split):",
              para_report["modes"])
-        report = {"structure": report, "paraphrase": para_report}
+        from legal_rag_tpu.quality import _provenance
+
+        report = {
+            "structure": report,
+            "paraphrase": para_report,
+            "provenance": _provenance(engine),
+        }
     if args.report:
         with open(args.report, "w", encoding="utf-8") as f:
             json.dump(report, f, indent=2)
@@ -357,7 +396,26 @@ def main(argv=None) -> int:
     p = sub.add_parser("eval", help="run the quality gate")
     p.add_argument("--store", required=True)
     p.add_argument("--report", default="quality_report.json")
+    p.add_argument(
+        "--include-paraphrase", action="store_true",
+        help="also run the 10-query paraphrase grounding gate "
+             "(serving stores must ground >= the pinned threshold; "
+             "untrained stores are expected to fail it)",
+    )
     p.set_defaults(fn=_cmd_eval)
+
+    p = sub.add_parser(
+        "eval-gate",
+        help="big-split retrieval gate with pinned serving thresholds "
+             "(structure RRF + sibling dense recall floors)",
+    )
+    p.add_argument("--store", required=True)
+    p.add_argument("--report", default=None)
+    p.add_argument(
+        "--max-queries", type=int, default=None,
+        help="cap each split (CI / smoke runs); serving gate runs full",
+    )
+    p.set_defaults(fn=_cmd_eval_gate)
 
     p = sub.add_parser(
         "eval-retrieval",

@@ -38,6 +38,47 @@ QUALITY_SUITE = (
      "informational", ("BNSS_", "GSOP_")),
 )
 
+# Paraphrase gate (round 4, VERDICT r3 item 6): the 10-query core
+# suite saturated at 10/10 two rounds running because its phrasing
+# lexically overlaps the section headers (BM25 alone passes it). These
+# queries describe the scenario WITHOUT the statute's vocabulary —
+# "grabbed my gold chain and sprinted off" never says "snatching" — so
+# passing requires the trained dense side (the sibling-span finetune's
+# whole point, BASELINE.md paraphrase table). ``expected_context="any"``
+# skips the safety-field checks: what this suite gates is retrieval
+# grounding under paraphrase, not the intent classifier's keyword
+# heuristics. Untrained/CPU-fallback stores are EXPECTED to fail rows
+# here — that is the gate regaining discriminative power; serving
+# stores (build --finetune-steps 4000) must pass
+# PARAPHRASE_PASS_THRESHOLD of them.
+PARAPHRASE_SUITE = (
+    ("A man grabbed my gold chain and sprinted off before I could react",
+     "any", ("BNS_304", "BNS_303", "BNS_309")),
+    ("My ex keeps following me around and contacting me even after I "
+     "told him to stop", "any", ("BNS_78",)),
+    ("Someone threw a corrosive liquid at my cousin's face",
+     "any", ("BNS_124", "NALSA_")),
+    ("How many hours can the police hold someone before producing them "
+     "in front of a judge?", "any", ("BNSS_58", "BNSS_57", "BNSS_78")),
+    ("Can the court order the offender to pay for my hospital bills "
+     "after the attack?", "any", ("BNSS_396", "BNSS_395", "NALSA_")),
+    ("What does the law say about a doctor examining a woman after a "
+     "sexual offence?", "any", ("BNSS_184", "BNSS_51", "BNSS_52")),
+    ("My husband's family keeps demanding cash and a car from my "
+     "parents", "any", ("BNS_85", "BNS_80")),
+    ("Someone is spreading made-up stories that ruined my standing in "
+     "the community", "any", ("BNS_351", "BNS_356")),
+    ("A shopkeeper sold me fake gold jewellery claiming it was real",
+     "any", ("BNS_318", "BNS_319")),
+    ("A stranger lured my eight year old nephew away from the park",
+     "any", ("BNS_97", "BNS_137", "BNS_139")),
+)
+
+# serving stores must ground at least this many of the 10 paraphrase
+# queries (untrained stores measured ~3-5/10; the 4000-step sibling
+# finetune is the lever — keep the bar under review as it improves)
+PARAPHRASE_PASS_THRESHOLD = 7
+
 
 def validate_result(
     result: Dict, expected_context: str, grounding=None
@@ -57,7 +98,9 @@ def validate_result(
             failures.append("victim query missing safety_alert")
         if not resp.get("immediate_action_plan"):
             failures.append("victim query missing immediate_action_plan")
-    else:
+    elif expected_context != "any":
+        # "any" (paraphrase suite) gates grounding only — the intent
+        # label is the classifier's call either way
         if resp.get("safety_alert"):
             failures.append("informational query has safety_alert")
     if grounding:
@@ -74,14 +117,144 @@ def validate_result(
     return failures
 
 
+# Big-split retrieval gate (VERDICT r3 item 6): the 1,042-query
+# structure split + 1,000-query sibling-span split are the framework's
+# real quality instruments (the 10-query E2E suite saturated). These
+# thresholds pin the SERVING recipe (build --finetune-steps 4000,
+# BASELINE.md round-3 recipe table: structure RRF r@10 0.96+, sibling
+# dense r@10 0.691) — a serving build that regresses below them fails
+# `python -m legal_rag_tpu eval-gate`. CI runs the same machinery on a
+# tiny untrained store with its own floor (tests/test_quality_cli.py),
+# which catches harness/regression bugs, not recipe drift.
+RETRIEVAL_GATE_THRESHOLDS = {
+    "structure": {"mode": "rrf", "recall@10": 0.96},
+    "sibling": {"mode": "dense", "recall@10": 0.65},
+    "sibling_rrf": {"split": "sibling", "mode": "rrf", "recall@10": 0.60},
+}
+
+
+def run_retrieval_gate(
+    store,
+    thresholds: Optional[Dict] = None,
+    engine=None,
+    max_queries: Optional[int] = None,
+    report_path: Optional[str] = None,
+) -> Dict:
+    """Pass/fail gate over the big eval splits.
+
+    Returns a report with per-split measured metrics, the thresholds,
+    and ``gate_passed``. ``max_queries`` caps each split (CI tiny
+    configs); the serving gate runs the full splits.
+    """
+    from legal_rag_tpu.evaluation import (
+        evaluate_store, labeled_pairs_from_chunks,
+        sibling_span_pairs_from_chunks,
+    )
+    from legal_rag_tpu.retrieval.engine import RetrievalEngine
+
+    thresholds = thresholds or RETRIEVAL_GATE_THRESHOLDS
+    engine = engine or RetrievalEngine(store)
+
+    splits = {
+        "structure": labeled_pairs_from_chunks(
+            store.chunks, max_pairs=max_queries
+        ),
+        "sibling": sibling_span_pairs_from_chunks(
+            store.chunks, max_pairs=max_queries
+        ),
+    }
+    needed_modes: Dict[str, set] = {"structure": set(), "sibling": set()}
+    for name, th in thresholds.items():
+        split = th.get("split", name)
+        needed_modes[split].add(th["mode"])
+    reports = {}
+    for split, modes in needed_modes.items():
+        if not modes:
+            continue
+        reports[split] = evaluate_store(
+            store, splits[split], modes=tuple(sorted(modes)),
+            engine=engine,
+        )
+
+    checks = []
+    for name, th in thresholds.items():
+        split = th.get("split", name)
+        measured = reports[split]["modes"][th["mode"]]
+        for metric, floor in th.items():
+            if metric in ("mode", "split"):
+                continue
+            got = measured.get(metric)
+            checks.append({
+                "name": name,
+                "split": split,
+                "mode": th["mode"],
+                "metric": metric,
+                "threshold": floor,
+                "measured": got,
+                "passed": got is not None and got >= floor,
+            })
+    report = {
+        "gate_passed": all(c["passed"] for c in checks),
+        "checks": checks,
+        "n_queries": {s: len(p) for s, p in splits.items()},
+        "provenance": _provenance(engine),
+        "splits": {
+            s: {"modes": r["modes"]} for s, r in reports.items()
+        },
+    }
+    if report_path:
+        with open(report_path, "w", encoding="utf-8") as f:
+            json.dump(report, f, indent=2, ensure_ascii=False)
+    return report
+
+
+def _provenance(engine) -> Dict:
+    """Stamp WHAT was evaluated into the report (VERDICT r3 item 8): a
+    10/10 on a CPU-fallback store must be distinguishable from the
+    gated TPU serving build by the artifact alone."""
+    import jax
+
+    prov: Dict = {
+        "platform": jax.default_backend(),
+        "device_kind": getattr(jax.devices()[0], "device_kind", "?"),
+        "n_devices": len(jax.devices()),
+    }
+    store = getattr(engine, "store", None) or getattr(
+        getattr(engine, "engine", None), "store", None
+    )
+    if store is not None:
+        prov.update(
+            n_docs=getattr(store, "n_docs", None),
+            corpus_hash=(getattr(store, "corpus_hash", "") or "")[:16],
+            cross_encoder=getattr(store, "ce_params", None) is not None,
+            multi_vector=getattr(store, "mv_tokens", None) is not None,
+        )
+        emb = getattr(store, "embeddings", None)
+        if emb is not None:
+            prov["embedding_dtype"] = str(emb.dtype)
+    inner = getattr(engine, "engine", engine)
+    cfg = getattr(inner, "config", None)
+    if cfg is not None:
+        prov["dense_dtype"] = cfg.dense.dtype
+        prov["fusion_mode"] = cfg.fusion.mode
+    return prov
+
+
 def run_quality_eval(
     store_dir=None,
     engine=None,
     report_path: Optional[str] = None,
     suite=QUALITY_SUITE,
     llm_throttle_s: float = 20.0,
+    include_paraphrase: bool = False,
 ) -> Dict:
-    """Run the suite; returns (and optionally writes) the report."""
+    """Run the suite; returns (and optionally writes) the report.
+
+    ``include_paraphrase``: additionally run :data:`PARAPHRASE_SUITE`
+    and report its grounded count against
+    :data:`PARAPHRASE_PASS_THRESHOLD` (``paraphrase_gate_passed``) —
+    the serving-store gate; untrained stores are expected to fail it.
+    """
     if engine is None:
         import dataclasses
 
@@ -102,36 +275,50 @@ def run_quality_eval(
         or getattr(engine.orchestrator.classifier, "llm", None) is not None
     )
 
-    results = []
-    for i, case in enumerate(suite):
-        query, expected_context = case[0], case[1]
-        grounding = case[2] if len(case) > 2 else None
-        t0 = time.time()
-        try:
-            out = engine.query(query)
-            failures = validate_result(out, expected_context, grounding)
-            detected = out.get("intent", {}).get("user_context")
-        except Exception as e:  # noqa: BLE001 — a crash is a failure
-            out = None
-            failures = [f"exception: {e}"]
-            detected = None
-        results.append({
-            "query": query,
-            "expected_context": expected_context,
-            "detected_context": detected,
-            "passed": not failures,
-            "failures": failures,
-            "latency_s": round(time.time() - t0, 3),
-        })
-        if uses_llm and i + 1 < len(suite):
-            time.sleep(llm_throttle_s)
+    def run_suite(cases):
+        rows = []
+        for i, case in enumerate(cases):
+            query, expected_context = case[0], case[1]
+            grounding = case[2] if len(case) > 2 else None
+            t0 = time.time()
+            try:
+                out = engine.query(query)
+                failures = validate_result(out, expected_context, grounding)
+                detected = out.get("intent", {}).get("user_context")
+            except Exception as e:  # noqa: BLE001 — a crash is a failure
+                out = None
+                failures = [f"exception: {e}"]
+                detected = None
+            rows.append({
+                "query": query,
+                "expected_context": expected_context,
+                "detected_context": detected,
+                "passed": not failures,
+                "failures": failures,
+                "latency_s": round(time.time() - t0, 3),
+            })
+            if uses_llm and i + 1 < len(cases):
+                time.sleep(llm_throttle_s)
+        return rows
 
+    results = run_suite(suite)
     report = {
         "total": len(results),
         "passed": sum(1 for r in results if r["passed"]),
         "uses_llm": uses_llm,
+        "provenance": _provenance(engine),
         "results": results,
     }
+    if include_paraphrase:
+        para = run_suite(PARAPHRASE_SUITE)
+        n_pass = sum(1 for r in para if r["passed"])
+        report["paraphrase"] = {
+            "total": len(para),
+            "passed": n_pass,
+            "threshold": PARAPHRASE_PASS_THRESHOLD,
+            "gate_passed": n_pass >= PARAPHRASE_PASS_THRESHOLD,
+            "results": para,
+        }
     if report_path:
         with open(report_path, "w", encoding="utf-8") as f:
             json.dump(report, f, indent=2, ensure_ascii=False)
