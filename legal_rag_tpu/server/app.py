@@ -219,7 +219,9 @@ class HttpApp:
     async def _batch_search(self, body: bytes):
         """Raw batched retrieval: many queries, one device program —
         the arrays-as-interface core exposed directly (no LLM stages).
-        Body: {"queries": [...], "k": 5, "fusion_mode": "weighted"}."""
+        Body: {"queries": [...], "k": 5, "fusion_mode": "weighted"}
+        (fusion_mode also accepts the late-interaction "maxsim" /
+        "maxsim-rerank" on stores built with --multi-vector)."""
         if self.host.loading:
             return 503, {"detail": "Legal Engine is still loading. Please wait."}
         if not self.host.engine:
@@ -246,10 +248,20 @@ class HttpApp:
         if not isinstance(k, int) or not 1 <= k <= 100:
             return 422, {"detail": "k must be an int in [1, 100]"}
         mode = request.get("fusion_mode")
-        if mode not in (None, "weighted", "rrf"):
-            return 422, {"detail": "fusion_mode must be 'weighted' or 'rrf'"}
-
+        if mode not in (None, "weighted", "rrf", "maxsim", "maxsim-rerank"):
+            return 422, {
+                "detail": "fusion_mode must be 'weighted', 'rrf', "
+                "'maxsim' or 'maxsim-rerank'"
+            }
         engine = self.host.engine.engine  # the RetrievalEngine core
+        if mode in ("maxsim", "maxsim-rerank") and (
+            engine.store.mv_tokens is None
+        ):
+            return 422, {
+                "detail": "store has no multi-vector artifacts; rebuild "
+                "with `build --multi-vector <token_budget>` to serve "
+                "late-interaction modes"
+            }
         try:
             batched = await asyncio.get_event_loop().run_in_executor(
                 None,

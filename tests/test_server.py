@@ -281,6 +281,15 @@ def test_batch_search_endpoint(server_port):
                  {"queries": ["x"], "k": 0})[0] == 422
     assert _post(server_port, "/api/v1/batch_search",
                  {"queries": ["x"] * 257})[0] == 422
+    # late-interaction modes 422 with a rebuild hint on a store
+    # without multi-vector artifacts (this fixture store has none)
+    status, body = _post(
+        server_port, "/api/v1/batch_search",
+        {"queries": ["x"], "fusion_mode": "maxsim-rerank"},
+    )
+    assert status == 422 and "multi-vector" in body["detail"]
+    assert _post(server_port, "/api/v1/batch_search",
+                 {"queries": ["x"], "fusion_mode": "bogus"})[0] == 422
 
 
 def test_concurrent_queries_and_health(server_port):
