@@ -528,6 +528,33 @@ TWOPHASE_BLOCK_N = 8192
 # pins the measured-best value; sharded._local_dense_topc uses this).
 TWOPHASE_SEG_ROWS = 8
 
+# Lazily-probed: does this backend's Mosaic accept the round-4
+# in-kernel transposed segment-max output tile? The transpose source
+# has a sub-128 lane dim (the query tile), which Mosaic relayouts —
+# believed fine, but a rejection here must DEGRADE (old layout + XLA
+# transpose), not crash the production dispatch on real hardware the
+# first time it runs. One tiny compile, cached per process.
+_KERNEL_T_OK: Optional[bool] = None
+
+
+def _kernel_transpose_supported() -> bool:
+    global _KERNEL_T_OK
+    if _KERNEL_T_OK is None:
+        if jax.default_backend() != "tpu":
+            _KERNEL_T_OK = True     # CPU interpret handles transposes
+        else:
+            try:
+                q = jnp.zeros((8, 128), jnp.bfloat16)
+                d = jnp.zeros((1024, 128), jnp.bfloat16)
+                dense_topk_twophase_rm(
+                    q, d, 2, block_n=1024, seg_rows=8,
+                    kernel_transpose=True,
+                )[0].block_until_ready()
+                _KERNEL_T_OK = True
+            except Exception:  # noqa: BLE001 — Mosaic rejection
+                _KERNEL_T_OK = False
+    return _KERNEL_T_OK
+
 
 @functools.partial(
     jax.jit,
@@ -595,9 +622,10 @@ def dense_topk_twophase_rm(
         f"({seg_rows * 128})"
     )
     if kernel_transpose is None:
-        kernel_transpose = os.environ.get(
-            "LEGAL_RAG_RM_NO_KERNEL_T", ""
-        ) != "1"
+        kernel_transpose = (
+            os.environ.get("LEGAL_RAG_RM_NO_KERNEL_T", "") != "1"
+            and _kernel_transpose_supported()
+        )
     qp = -(-q // block_q) * block_q
     bq = min(block_q, qp)
     np_ = -(-n // block_n) * block_n
