@@ -318,7 +318,9 @@ _TIE_OVERSAMPLE = 64
 _TWO_LEVEL_MIN_SEGS = 16384
 
 
-def _select_segments(seg_m: jax.Array, kk: int, n_segs: int) -> jax.Array:
+def _select_segments(
+    seg_m: jax.Array, kk: int, n_segs: int, sup: int = 128
+) -> jax.Array:
     """Top-``kk`` segment positions per query from ``seg_m [Q, n_segs]``.
 
     Uses the two-level (super-segment) select above
@@ -341,24 +343,24 @@ def _select_segments(seg_m: jax.Array, kk: int, n_segs: int) -> jax.Array:
     q = seg_m.shape[0]
     if (
         n_segs >= _TWO_LEVEL_MIN_SEGS
-        and n_segs % 128 == 0
-        and n_segs // 128 >= kk
+        and n_segs % sup == 0
+        and n_segs // sup >= kk
     ):
-        n_sup = n_segs // 128
-        s3 = seg_m.reshape(q, n_sup, 128)
+        n_sup = n_segs // sup
+        s3 = seg_m.reshape(q, n_sup, sup)
         m2 = jnp.max(s3, axis=2)
-        _, sup = jax.lax.top_k(m2, kk)                          # [Q, kk]
+        _, sup_idx = jax.lax.top_k(m2, kk)                      # [Q, kk]
         onehot = (
-            sup[:, :, None] == jnp.arange(n_sup)[None, None, :]
+            sup_idx[:, :, None] == jnp.arange(n_sup)[None, None, :]
         ).astype(jnp.float32)                                   # [Q,kk,S']
         vals = jnp.einsum(
             "qjs,qsl->qjl", onehot, s3,
             precision=jax.lax.Precision.HIGHEST,
-        ).reshape(q, kk * 128)
+        ).reshape(q, kk * sup)
         member = (
-            sup[:, :, None] * 128
-            + jax.lax.broadcasted_iota(jnp.int32, (q, kk, 128), 2)
-        ).reshape(q, kk * 128)
+            sup_idx[:, :, None] * sup
+            + jax.lax.broadcasted_iota(jnp.int32, (q, kk, sup), 2)
+        ).reshape(q, kk * sup)
         _, pos = jax.lax.top_k(vals, kk)
         return jnp.take_along_axis(member, pos, axis=1)         # [Q, kk]
     _, seg_pos = jax.lax.top_k(seg_m, kk)
@@ -560,7 +562,7 @@ def _kernel_transpose_supported() -> bool:
     jax.jit,
     static_argnames=(
         "k", "block_n", "block_q", "seg_rows", "interpret", "precision",
-        "kernel_transpose",
+        "kernel_transpose", "sup",
     ),
 )
 def dense_topk_twophase_rm(
@@ -575,6 +577,7 @@ def dense_topk_twophase_rm(
     interpret: bool = False,
     precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
     kernel_transpose: Optional[bool] = None,
+    sup: int = 128,
 ) -> Tuple[jax.Array, jax.Array]:
     """Row-major large-N exact top-k: the production dense backend at
     scale (slope-measured 2.2 ms vs XLA dot+top_k's 3.9 ms per
@@ -666,7 +669,7 @@ def dense_topk_twophase_rm(
 
     # phase 2: select segments (query-major), segment-granularity gather
     kk = min(k + _TIE_OVERSAMPLE, n_segs)
-    seg_pos = _select_segments(seg_m, kk, n_segs)               # [Qp, kk]
+    seg_pos = _select_segments(seg_m, kk, n_segs, sup=sup)      # [Qp, kk]
 
     # contiguous members: segment s = docs [s*seg_rows, (s+1)*seg_rows)
     cand_ids = (

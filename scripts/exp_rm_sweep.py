@@ -140,6 +140,24 @@ def main():
             if ok and not both:
                 break
 
+    # super-segment width for the best default config: the level-2
+    # extract/top_k widths scale with `sup` while level-1 scales with
+    # n_segs/sup — measured, not guessed
+    for sup in (64, 256):
+        def rm_sup(qq, d, sup=sup):
+            return dense_topk_twophase_rm(
+                qq, d, K, block_n=8192, seg_rows=8,
+                precision=jax.lax.Precision.DEFAULT, sup=sup,
+            )
+        try:
+            dt, tc, out = slope(rm_sup, q16, d_rm)
+            r = recall(out[1], ref_ids)
+            log(f"rm bn=8192   sr=8   sup={sup:<4}: {dt*1e3:8.3f} ms  "
+                f"({gb/dt:5.0f} GB/s eff)  recall@{K}={r:.4f}  "
+                f"compile {tc:.1f}s")
+        except Exception as e:  # noqa: BLE001
+            log(f"rm sup={sup}: FAILED {type(e).__name__}: {str(e)[:120]}")
+
 
 if __name__ == "__main__":
     main()
