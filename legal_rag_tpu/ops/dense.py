@@ -503,12 +503,24 @@ def _segmax_rm_kernel(
     128-divisible via the ``block_n % (seg_rows*128) == 0`` contract.
     """
     j = pl.program_id(1)
-    s = jnp.dot(
-        d_ref[:], qt_ref[:],
-        preferred_element_type=jnp.float32, precision=precision,
-    )
+    if d_ref.dtype == jnp.int8:
+        # int8 x int8 -> int32 MXU accumulation; the per-SEGMENT dequant
+        # scale commutes with the in-group max (sharded.from_embeddings
+        # quantizes with one scale per TWOPHASE_SEG_ROWS group), so the
+        # integer segment-max is exact and dequant happens on the tiny
+        # [Q, n_segs] map outside
+        s = jnp.dot(
+            d_ref[:], qt_ref[:], preferred_element_type=jnp.int32,
+        )
+        neg = jnp.int32(-(2 ** 30))
+    else:
+        s = jnp.dot(
+            d_ref[:], qt_ref[:],
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        neg = _NEG_F32
     row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + j * block_n
-    s = jnp.where(row < nv_ref[0], s, _NEG_F32)
+    s = jnp.where(row < nv_ref[0], s, neg)
     bn, bq = s.shape
     m = jnp.max(s.reshape(bn // seg_rows, seg_rows, bq), axis=1)
     m_ref[:] = m.T if transpose_out else m
@@ -535,27 +547,34 @@ TWOPHASE_SEG_ROWS = 8
 # has a sub-128 lane dim (the query tile), which Mosaic relayouts —
 # believed fine, but a rejection here must DEGRADE (old layout + XLA
 # transpose), not crash the production dispatch on real hardware the
-# first time it runs. One tiny compile, cached per process.
-_KERNEL_T_OK: Optional[bool] = None
+# first time it runs. One tiny compile per map dtype (f32 / the int8
+# tier's int32), cached per process.
+_KERNEL_T_OK: dict = {}
 
 
-def _kernel_transpose_supported() -> bool:
-    global _KERNEL_T_OK
-    if _KERNEL_T_OK is None:
+def _kernel_transpose_supported(docs_dtype=jnp.bfloat16) -> bool:
+    key = str(jnp.dtype(docs_dtype))
+    if key not in _KERNEL_T_OK:
         if jax.default_backend() != "tpu":
-            _KERNEL_T_OK = True     # CPU interpret handles transposes
+            _KERNEL_T_OK[key] = True  # CPU interpret handles transposes
         else:
             try:
-                q = jnp.zeros((8, 128), jnp.bfloat16)
-                d = jnp.zeros((1024, 128), jnp.bfloat16)
+                if jnp.dtype(docs_dtype) == jnp.int8:
+                    q = jnp.zeros((8, 128), jnp.float32)
+                    d = jnp.zeros((1024, 128), jnp.int8)
+                    kw = {"doc_scales": jnp.ones((1024,), jnp.float32)}
+                else:
+                    q = jnp.zeros((8, 128), docs_dtype)
+                    d = jnp.zeros((1024, 128), docs_dtype)
+                    kw = {}
                 dense_topk_twophase_rm(
                     q, d, 2, block_n=1024, seg_rows=8,
-                    kernel_transpose=True,
+                    kernel_transpose=True, **kw,
                 )[0].block_until_ready()
-                _KERNEL_T_OK = True
+                _KERNEL_T_OK[key] = True
             except Exception:  # noqa: BLE001 — Mosaic rejection
-                _KERNEL_T_OK = False
-    return _KERNEL_T_OK
+                _KERNEL_T_OK[key] = False
+    return _KERNEL_T_OK[key]
 
 
 @functools.partial(
@@ -578,6 +597,7 @@ def dense_topk_twophase_rm(
     precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
     kernel_transpose: Optional[bool] = None,
     sup: int = 128,
+    doc_scales: "Optional[jax.Array]" = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Row-major large-N exact top-k: the production dense backend at
     scale (slope-measured 2.2 ms vs XLA dot+top_k's 3.9 ms per
@@ -616,6 +636,18 @@ def dense_topk_twophase_rm(
       accumulation (bf16 products are exact in f32 — no f32 upcast
       copy of the gathered block is materialized); mixed-dtype inputs
       fall back to the upcast path.
+
+    int8 capacity mode (round 4): ``docs`` int8 with ``doc_scales``
+    ([N] f32, constant within each ``seg_rows`` group — the
+    per-segment quantization ``sharded.ShardedIndex.from_embeddings``
+    produces). Queries (float) quantize per-row symmetric exactly like
+    the XLA int8 path; phase 1 runs int8 x int8 -> int32 on the MXU
+    and the integer segment-max commutes with the shared group scale,
+    so dequant touches only the [Q, n_segs] map. Scores match the XLA
+    int8 path's metric bit-for-bit (same quantization, same
+    accumulator) — the engine's oversample+fp32-rescore contract is
+    unchanged. This removes the [Q, N] f32 score-matrix wall from the
+    4x tier at 10M+ docs/shard.
     """
     q, d = queries.shape
     n, d2 = docs.shape
@@ -624,16 +656,31 @@ def dense_topk_twophase_rm(
         f"block_n {block_n} must be a multiple of seg_rows*128 "
         f"({seg_rows * 128})"
     )
+    is_int8 = docs.dtype == jnp.int8
+    if is_int8 and doc_scales is None:
+        raise ValueError("int8 docs require doc_scales (per-segment)")
     if kernel_transpose is None:
         kernel_transpose = (
             os.environ.get("LEGAL_RAG_RM_NO_KERNEL_T", "") != "1"
-            and _kernel_transpose_supported()
+            and _kernel_transpose_supported(docs.dtype)
         )
     qp = -(-q // block_q) * block_q
     bq = min(block_q, qp)
     np_ = -(-n // block_n) * block_n
     queries_p = _pad_to(queries, qp, 0)
     docs_p = _pad_to(docs, np_, 0)   # no-op when the caller pre-aligned
+    q_scale = None
+    if is_int8:
+        assert np_ % seg_rows == 0
+        doc_scales_p = _pad_to(
+            jnp.asarray(doc_scales, jnp.float32), np_, 0, value=1.0
+        )
+        seg_scales = doc_scales_p[::seg_rows]            # [n_segs] (>0)
+        q_scale = jnp.max(jnp.abs(queries_p), axis=1) / 127.0
+        q_scale = jnp.where(q_scale == 0, 1.0, q_scale)
+        queries_p = jnp.clip(
+            jnp.round(queries_p / q_scale[:, None]), -127, 127
+        ).astype(jnp.int8)
     qt = queries_p.T                 # [D, Qp] — queries are tiny
     nb = np_ // block_n
     segs_per_block = block_n // seg_rows
@@ -646,12 +693,13 @@ def dense_topk_twophase_rm(
         precision=precision, transpose_out=kernel_transpose,
     )
     n_segs = nb * segs_per_block
+    map_dtype = jnp.int32 if is_int8 else jnp.float32
     if kernel_transpose:
         out_specs = pl.BlockSpec((bq, segs_per_block), lambda i, j: (i, j))
-        out_shape = jax.ShapeDtypeStruct((qp, n_segs), jnp.float32)
+        out_shape = jax.ShapeDtypeStruct((qp, n_segs), map_dtype)
     else:
         out_specs = pl.BlockSpec((segs_per_block, bq), lambda i, j: (j, i))
-        out_shape = jax.ShapeDtypeStruct((n_segs, qp), jnp.float32)
+        out_shape = jax.ShapeDtypeStruct((n_segs, qp), map_dtype)
     seg_m = pl.pallas_call(
         kernel,
         grid=(qp // bq, nb),
@@ -666,6 +714,11 @@ def dense_topk_twophase_rm(
     )(nv, qt, docs_p)
     if not kernel_transpose:
         seg_m = seg_m.T
+    if is_int8:
+        # dequant on the tiny map (q_scale > 0 is monotone per query —
+        # selection doesn't need it; the masked -2^30 stays dominant
+        # because seg_scales > 0)
+        seg_m = seg_m.astype(jnp.float32) * seg_scales[None, :]
 
     # phase 2: select segments (query-major), segment-granularity gather
     kk = min(k + _TIE_OVERSAMPLE, n_segs)
@@ -686,7 +739,19 @@ def dense_topk_twophase_rm(
     gathered = jnp.take(docs_seg, seg_safe, axis=0).reshape(
         qp, kk * seg_rows, d
     )                                                           # [Qp, C, D]
-    if queries_p.dtype == gathered.dtype:
+    if is_int8:
+        # same metric as phase 1 / the XLA int8 path: int32 accumulate,
+        # then dequant by (q_scale x the candidate's segment scale)
+        acc = jnp.einsum(
+            "qd,qcd->qc", queries_p, gathered,
+            preferred_element_type=jnp.int32,
+        )
+        cand_scales = jnp.take(seg_scales, seg_safe)        # [Qp, kk]
+        cand_scales = jnp.broadcast_to(
+            cand_scales[:, :, None], (qp, kk, seg_rows)
+        ).reshape(qp, kk * seg_rows)
+        scores = acc.astype(jnp.float32) * q_scale[:, None] * cand_scales
+    elif queries_p.dtype == gathered.dtype:
         # bf16 x bf16 products are exact in the fp32 accumulator — no
         # upcast copy of the [Qp, C, D] block
         scores = jnp.einsum(

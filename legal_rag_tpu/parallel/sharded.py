@@ -70,6 +70,33 @@ def _local_dense_topc(
     """
     n_local_w = docs_local.shape[0]
     if docs_local.dtype == jnp.int8:
+        # Large shards ride the int8 two-phase kernel (round 4): the
+        # per-SEGMENT quantization from_embeddings produces lets the
+        # integer segment-max commute with dequant, so no [Q, n_local]
+        # f32 score matrix materializes — previously this branch hit
+        # the score-matrix wall at exactly the corpus sizes the 4x
+        # tier exists for. Same metric (and tie order) as the XLA
+        # path below, so the dispatch point doesn't change results.
+        aligned8 = (
+            n_local_w % TWOPHASE_BLOCK_N == 0
+            and n_local_w % TWOPHASE_SEG_ROWS == 0
+        )
+        if aligned8 and (
+            n_local_w >= TWOPHASE_MIN_DOCS
+            or q.shape[0] * n_local_w * 4 > _SCORE_MATRIX_BUDGET_BYTES
+        ):
+            n_valid = jnp.clip(n_docs - base, 0, n_local_w)
+            bq = max(8, min(64, -(-q.shape[0] // 8) * 8))
+            s, i = dense_topk_twophase_rm(
+                q, docs_local, c, n_valid=n_valid,
+                block_n=TWOPHASE_BLOCK_N, block_q=bq,
+                seg_rows=TWOPHASE_SEG_ROWS,
+                doc_scales=doc_scales,
+                interpret=jax.default_backend() != "tpu",
+            )
+            gids = jnp.where(i >= 0, i + base, i)
+            s = jnp.where((gids >= 0) & (gids < n_docs), s, -jnp.inf)
+            return s, gids
         q_scale = jnp.max(jnp.abs(q), axis=1) / 127.0          # [Q]
         q_scale = jnp.where(q_scale == 0, 1.0, q_scale)
         q_i8 = jnp.clip(
@@ -121,6 +148,7 @@ def _local_dense_topc(
             block_n=bn if aligned else 1024,
             block_q=bq, seg_rows=TWOPHASE_SEG_ROWS,
             precision=precision,
+            interpret=jax.default_backend() != "tpu",
         )
         gids = jnp.where(i >= 0, i + base, i)
         s = jnp.where((gids >= 0) & (gids < n_docs), s, -jnp.inf)
@@ -848,6 +876,9 @@ class ShardedIndex:
         # pad copy (measured +2.3 ms/1M docs); small corpora ride the
         # XLA dot path where plain shard alignment suffices
         unit = n_shards
+        if dtype == "int8":
+            # per-segment quantization groups rows by TWOPHASE_SEG_ROWS
+            unit = n_shards * TWOPHASE_SEG_ROWS
         if -(-n // n_shards) >= TWOPHASE_MIN_DOCS:
             unit = n_shards * TWOPHASE_BLOCK_N
         n_pad = -(-n // unit) * unit
@@ -866,8 +897,22 @@ class ShardedIndex:
         docs[:n] = embeddings
 
         if dtype == "int8":
-            scales = np.abs(docs).max(axis=1) / 127.0       # per doc
+            # Per-SEGMENT symmetric quantization (round 4): the scale
+            # is shared across each TWOPHASE_SEG_ROWS-row group, so the
+            # two-phase kernel's integer segment-max commutes with the
+            # dequant multiply and the int8 tier rides the large-N
+            # dispatch (no [Q, N] score matrix at 10M+ docs/shard).
+            # doc_scales keeps the per-doc [Npad] layout (values repeat
+            # within a group) so the XLA path's math is unchanged in
+            # form. Unit-norm embeddings have tightly clustered per-doc
+            # maxima, so the group max costs almost no resolution — and
+            # the tier's oversample+fp32-rescore contract recovers
+            # exactness either way (tests/test_int8_rescore.py).
+            g = TWOPHASE_SEG_ROWS
+            per_doc = np.abs(docs).max(axis=1) / 127.0
+            scales = per_doc.reshape(n_pad // g, g).max(axis=1)
             scales[scales == 0] = 1.0
+            scales = np.repeat(scales, g)
             quant = np.clip(
                 np.rint(docs / scales[:, None]), -127, 127
             ).astype(np.int8)

@@ -368,3 +368,109 @@ def test_twophase_rm_fuzz_configs():
             i, golden, err_msg=f"trial {trial}: n={n} k={kk} "
             f"sr={seg_rows} bn={block_n} nv={n_valid}",
         )
+
+
+# ---------------------------------------------------------------------------
+# int8 capacity mode through the two-phase kernel (round 4)
+# ---------------------------------------------------------------------------
+
+
+def _seg_quantize(docs, seg_rows):
+    """Per-segment symmetric int8 quantization (the contract
+    sharded.ShardedIndex.from_embeddings produces)."""
+    n = docs.shape[0]
+    assert n % seg_rows == 0
+    per_doc = np.abs(docs).max(axis=1) / 127.0
+    scales = per_doc.reshape(n // seg_rows, seg_rows).max(axis=1)
+    scales[scales == 0] = 1.0
+    scales = np.repeat(scales, seg_rows)
+    codes = np.clip(
+        np.rint(docs / scales[:, None]), -127, 127
+    ).astype(np.int8)
+    return codes, scales.astype(np.float32)
+
+
+def _int8_xla_reference(q, codes, scales, k, n_valid=None):
+    """The sharded XLA int8 path's metric, replicated in numpy."""
+    q_scale = np.abs(q).max(axis=1) / 127.0
+    q_scale[q_scale == 0] = 1.0
+    q_i8 = np.clip(np.rint(q / q_scale[:, None]), -127, 127)
+    acc = q_i8.astype(np.int64) @ codes.T.astype(np.int64)
+    scores = acc.astype(np.float64) * q_scale[:, None] * scales[None, :]
+    if n_valid is not None:
+        scores[:, n_valid:] = -np.inf
+    order = np.lexsort(
+        (np.arange(codes.shape[0])[None, :].repeat(q.shape[0], 0),
+         -scores), axis=1,
+    )[:, :k]
+    return np.take_along_axis(scores, order, axis=1), order
+
+
+@pytest.mark.parametrize("kernel_transpose", [True, False])
+def test_twophase_rm_int8_matches_xla_metric(kernel_transpose):
+    from legal_rag_tpu.ops.dense import dense_topk_twophase_rm
+
+    rng = np.random.default_rng(23)
+    n, d, sr = 8192, 64, 8
+    docs = rng.standard_normal((n, d)).astype(np.float32)
+    docs /= np.linalg.norm(docs, axis=1, keepdims=True)
+    q = rng.standard_normal((6, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    codes, scales = _seg_quantize(docs, sr)
+    ref_s, ref_i = _int8_xla_reference(q, codes, scales, 10)
+    s, i = dense_topk_twophase_rm(
+        jnp.asarray(q), jnp.asarray(codes), 10,
+        doc_scales=jnp.asarray(scales),
+        block_n=1024, seg_rows=sr, interpret=True,
+        kernel_transpose=kernel_transpose,
+    )
+    np.testing.assert_array_equal(np.asarray(i), ref_i)
+    np.testing.assert_allclose(
+        np.asarray(s), ref_s.astype(np.float32), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_twophase_rm_int8_n_valid_masks_padding():
+    from legal_rag_tpu.ops.dense import dense_topk_twophase_rm
+
+    rng = np.random.default_rng(29)
+    n_real, n_pad, d, sr = 700, 1024, 32, 4
+    docs = np.zeros((n_pad, d), dtype=np.float32)
+    real = -np.abs(rng.standard_normal((n_real, d))).astype(np.float32)
+    docs[:n_real] = real / np.linalg.norm(real, axis=1, keepdims=True)
+    q = np.abs(rng.standard_normal((3, d))).astype(np.float32)
+    codes, scales = _seg_quantize(docs, sr)
+    ref_s, ref_i = _int8_xla_reference(q, codes, scales, 5, n_valid=n_real)
+    s, i = dense_topk_twophase_rm(
+        jnp.asarray(q), jnp.asarray(codes), 5,
+        doc_scales=jnp.asarray(scales),
+        n_valid=jnp.asarray(n_real, jnp.int32),
+        block_n=512, seg_rows=sr, interpret=True,
+    )
+    assert (np.asarray(i) < n_real).all()
+    np.testing.assert_array_equal(np.asarray(i), ref_i)
+
+
+def test_int8_recall_after_rescore_per_segment_quantization():
+    """Per-segment scales + oversampled exact rescore still recover
+    recall 1.0 (the tier's contract, now via the two-phase kernel)."""
+    from legal_rag_tpu.ops.dense import dense_topk_twophase_rm, exact_rescore
+
+    rng = np.random.default_rng(31)
+    n, d, sr = 16384, 64, 8
+    docs = rng.standard_normal((n, d)).astype(np.float32)
+    docs /= np.linalg.norm(docs, axis=1, keepdims=True)
+    q = rng.standard_normal((8, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    codes, scales = _seg_quantize(docs, sr)
+    _, cand = dense_topk_twophase_rm(
+        jnp.asarray(q), jnp.asarray(codes), 40,
+        doc_scales=jnp.asarray(scales),
+        block_n=1024, seg_rows=sr, interpret=True,
+    )
+    _, ids, _, _ = exact_rescore(q, np.asarray(cand), docs, k=10)
+    gold = np.argsort(-(q @ docs.T), axis=1, kind="stable")[:, :10]
+    rec = np.mean([
+        len(set(ids[r]) & set(gold[r])) / 10 for r in range(8)
+    ])
+    assert rec == 1.0, rec

@@ -143,3 +143,53 @@ def test_engine_int8_rescore_matches_fp32(tmp_path):
             [x.semantic for x in b], rel=1e-4
         )
     assert "int8_rescore" in e8.timer.snapshot()
+
+
+def test_sharded_int8_twophase_dispatch_matches_xla(monkeypatch):
+    """Forcing the large-N dispatch point down: the int8 two-phase
+    kernel path must return exactly what the XLA int8 path returns
+    (same quantization metric, same tie order) through
+    sharded_hybrid_search."""
+    import legal_rag_tpu.parallel.sharded as sh
+    from legal_rag_tpu.parallel.mesh import make_mesh
+    from legal_rag_tpu.parallel.sharded import (
+        ShardedIndex, sharded_hybrid_search,
+    )
+
+    rng = np.random.default_rng(41)
+    n, d, q_n = 4096, 64, 8
+    docs = rng.standard_normal((n, d)).astype(np.float32)
+    docs /= np.linalg.norm(docs, axis=1, keepdims=True)
+    q = rng.standard_normal((q_n, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    mesh = make_mesh(2)
+    idx = ShardedIndex.from_embeddings(docs, mesh, dtype="int8")
+    post_ids = np.full((q_n, 4), -1, np.int32)
+    post_w = np.zeros((q_n, 4), np.float32)
+    weights = jnp.zeros((q_n,), jnp.float32)
+
+    def run():
+        _, ids, sem, _ = sharded_hybrid_search(
+            idx.docs, jnp.asarray(post_ids), jnp.asarray(post_w),
+            jnp.asarray(q), weights, idx.doc_scales,
+            mesh=mesh, k=10, c=20, n_docs=n, mode="weighted",
+        )
+        return np.asarray(ids), np.asarray(sem)
+
+    ids_xla, sem_xla = run()
+    # force the two-phase dispatch (n_local=2048): drop the threshold
+    # and block size; the kernel requires block_n % (seg_rows*128) == 0.
+    # The dispatch constants are read at TRACE time, so the jit cache
+    # must be cleared around the patched run (and again after, so no
+    # other test sees executables traced under patched constants).
+    monkeypatch.setattr(sh, "TWOPHASE_MIN_DOCS", 1024)
+    monkeypatch.setattr(sh, "TWOPHASE_BLOCK_N", 1024)
+    import legal_rag_tpu.ops.dense as dm
+    monkeypatch.setattr(dm, "_KERNEL_T_OK", {})
+    sh.sharded_hybrid_search.clear_cache()
+    try:
+        ids_tp, sem_tp = run()
+    finally:
+        sh.sharded_hybrid_search.clear_cache()
+    np.testing.assert_array_equal(ids_tp, ids_xla)
+    np.testing.assert_allclose(sem_tp, sem_xla, rtol=1e-5, atol=1e-6)
