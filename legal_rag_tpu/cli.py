@@ -62,6 +62,7 @@ def _cmd_build(args) -> int:
         pq_m=args.pq_m,
         ivf_cell_size=args.ivf_cell_size,
         rerank_steps=args.rerank_steps,
+        rerank_sibling_prob=args.rerank_sibling_prob,
         multi_vector=args.multi_vector,
         log_fn=(
             print
@@ -356,6 +357,14 @@ def main(argv=None) -> int:
         help="train + persist the cross-encoder reranker checkpoint "
              "(0 = off); stores carrying it serve with the joint-"
              "attention precision stage auto-enabled",
+    )
+    p.add_argument(
+        "--rerank-sibling-prob", type=float, default=0.0,
+        dest="rerank_sibling_prob", metavar="P",
+        help="probability a CE training group's positive is a SIBLING "
+             "chunk of the span's section (paraphrase-aware recipe, "
+             "round 4 — see EVAL_CE_PARAPHRASE.json for why); 0 keeps "
+             "the span/title recipe",
     )
     p.add_argument(
         "--multi-vector", type=int, default=0, metavar="TOKEN_BUDGET",

@@ -44,6 +44,7 @@ def build_index(
     pq_m: int = 0,
     ivf_cell_size: int = 0,
     rerank_steps: int = 0,
+    rerank_sibling_prob: float = 0.0,
     multi_vector: int = 0,
     log_fn=None,
 ) -> VectorStore:
@@ -124,7 +125,11 @@ def build_index(
         # gate); bump whenever the scoring/training recipe changes so
         # a pre-existing store trained under an older recipe can never
         # hash-match and get silently scored by the new forward
-        h.update(f"rerank:{rerank_steps}:meanpool-hard".encode())
+        tag = f"rerank:{rerank_steps}:meanpool-hard"
+        if rerank_sibling_prob:
+            # round-4 paraphrase-aware recipe (sibling positives)
+            tag += f":sib{rerank_sibling_prob}"
+        h.update(tag.encode())
     if multi_vector:
         h.update(f"mv:{multi_vector}".encode())
     if encoder is not None:
@@ -248,7 +253,8 @@ def build_index(
     )
     if rerank_steps > 0:
         _train_validated_reranker(
-            store, encoder, texts, rerank_steps, config, log_fn
+            store, encoder, texts, rerank_steps, config, log_fn,
+            sibling_prob=rerank_sibling_prob,
         )
     if store_dir is not None:
         store.save(store_dir)
@@ -299,6 +305,7 @@ def _encode_token_embeddings(
 
 def _train_validated_reranker(
     store, encoder, texts, rerank_steps, config, log_fn,
+    sibling_prob: float = 0.0,
 ) -> None:
     """Train the cross-encoder and persist it ONLY if it measurably
     helps on this corpus.
@@ -330,7 +337,7 @@ def _train_validated_reranker(
     ce = CrossEncoder(encoder)
     losses = train_cross_encoder_hard(
         ce, texts, chunks=store.chunks, steps=rerank_steps, log_fn=log_fn,
-        title_pairs=train_pairs,
+        title_pairs=train_pairs, sibling_prob=sibling_prob,
     )
     if log_fn:
         log_fn(

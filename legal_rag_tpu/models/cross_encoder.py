@@ -281,6 +281,7 @@ def train_cross_encoder_hard(
     title_prob: float = 0.5,
     warmup_frac: float = 0.25,
     n_hard: Optional[int] = None,
+    sibling_prob: float = 0.0,
 ) -> List[float]:
     """Hard-negative listwise training — the round-3 recipe that passes
     the builder's validation gate (BASELINE.md reranker table).
@@ -305,8 +306,17 @@ def train_cross_encoder_hard(
     (which the same model drives to ~0 loss in tens of steps), after
     which each group mixes ``n_hard`` mined negatives (default
     ceil(n_neg/2)) with random fill — separation first, precision
-    second."""
-    from legal_rag_tpu.models.finetune import make_pairs
+    second.
+
+    ``sibling_prob`` (round 4): with this probability a group's
+    positive is a SIBLING chunk of the span's source section (the
+    whole section excluded from negative mining) — the paraphrase
+    task the round-4 CI measurement showed the span/title-trained CE
+    never learned (EVAL_CE_PARAPHRASE.json: neutral at the serving
+    alpha, harmful at alpha>=0.5 on the sibling-span split). Requires
+    ``chunks`` metadata; 0.0 keeps the round-3 recipe byte-identical.
+    """
+    from legal_rag_tpu.models.finetune import make_pairs, section_groups
 
     rng = np.random.default_rng(seed)
     mine = make_hard_negative_miner(texts)
@@ -328,6 +338,14 @@ def train_cross_encoder_hard(
 
             title_pairs = labeled_pairs_from_chunks(chunks)
 
+    sib_groups: List[List[int]] = []
+    if sibling_prob > 0:
+        if chunks is None:
+            raise ValueError("sibling_prob > 0 requires chunks metadata")
+        sib_groups = [g for g in section_groups(chunks) if len(g) >= 2]
+        if not sib_groups:
+            sibling_prob = 0.0
+
     if n_hard is None:
         n_hard = -(-n_neg // 2)
 
@@ -340,8 +358,36 @@ def train_cross_encoder_hard(
                 out.append(d)
         return out
 
+    def sample_sibling_group():
+        """Span from one chunk, positive = another chunk of the SAME
+        section (source masked from the pool exactly like the
+        sibling-span eval split), whole section excluded from
+        mining."""
+        g = sib_groups[int(rng.integers(len(sib_groups)))]
+        src = int(g[int(rng.integers(len(g)))])
+        others = [i for i in g if i != src]
+        pos = int(others[int(rng.integers(len(others)))])
+        words = texts[src].split()
+        if not words:
+            return None
+        take = min(int(rng.integers(3, 13)), len(words))
+        lo = int(rng.integers(0, len(words) - take + 1))
+        q = " ".join(words[lo:lo + take])
+        return q, pos, list(g)
+
     def sample_group(hard: int):
-        if title_pairs and rng.random() < title_prob:
+        u = rng.random()
+        if sib_groups and u < sibling_prob:
+            sampled = sample_sibling_group()
+            if sampled is not None:
+                q, pos, exclude = sampled
+                negs = mine(q, exclude, hard, rng) if hard else []
+                negs += rand_negs(list(exclude) + negs, n_neg - len(negs))
+                return q, [texts[pos]] + [texts[d] for d in negs]
+            u = 1.0  # empty source chunk: fall through to the mix below
+        if title_pairs and u < sibling_prob + title_prob * (
+            1.0 - sibling_prob
+        ):
             q, rel = title_pairs[int(rng.integers(len(title_pairs)))]
             pos = int(rel[int(rng.integers(len(rel)))])
             exclude = rel

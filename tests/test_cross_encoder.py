@@ -309,3 +309,44 @@ def test_hard_negative_training_learns_toy_relevance(corpus):
         order = ce.rerank(" ".join(own), corpus)
         rr.append(1.0 / (order.index(i) + 1))
     assert np.mean(rr) > 0.38
+
+
+def test_sibling_positive_training_runs_and_excludes(corpus):
+    """Round-4 paraphrase-aware recipe: sibling groups sample a span
+    from one chunk with ANOTHER chunk of the same section as the
+    positive; the whole section is excluded from negative mining. On
+    the warmup (random-negative) phase the loss must fall, proving the
+    group construction feeds the listwise loss coherently."""
+    from legal_rag_tpu.models.cross_encoder import (
+        CrossEncoder, train_cross_encoder_hard,
+    )
+
+    enc = SentenceEncoder(cfg=CFG, vocab_corpus=corpus)
+    ce = CrossEncoder(enc, seed=0)
+    # two chunks per section (same law+section metadata)
+    chunks = [
+        {"text": t, "canonical_header": "H",
+         "metadata": {"law": "BNS", "section": str(i // 2),
+                      "section_title": " ".join(t.split()[:2])}}
+        for i, t in enumerate(corpus)
+    ]
+    losses = train_cross_encoder_hard(
+        ce, corpus, chunks=chunks, steps=80, batch_queries=4, n_neg=3,
+        learning_rate=2e-3, max_len=32, seed=0, sibling_prob=1.0,
+        warmup_frac=1.0,
+    )
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+def test_sibling_prob_without_chunks_raises(corpus):
+    from legal_rag_tpu.models.cross_encoder import (
+        CrossEncoder, train_cross_encoder_hard,
+    )
+
+    enc = SentenceEncoder(cfg=CFG, vocab_corpus=corpus)
+    ce = CrossEncoder(enc, seed=0)
+    with pytest.raises(ValueError, match="sibling_prob"):
+        train_cross_encoder_hard(
+            ce, corpus, chunks=None, steps=2, sibling_prob=0.5,
+        )
