@@ -241,6 +241,14 @@ def build_index(
             "tokenizer_impl": getattr(encoder, "tokenizer_impl", "python"),
         },
         corpus_hash=corpus_hash,
+        build_params={
+            "finetune_steps": finetune_steps,
+            "pq_m": pq_m,
+            "ivf_cell_size": ivf_cell_size,
+            "rerank_steps": rerank_steps,
+            "rerank_sibling_prob": rerank_sibling_prob,
+            "multi_vector": multi_vector,
+        },
         encoder_params=encoder.params,
         pq_codes=pq_codes,
         pq_codebooks=pq_codebooks,

@@ -91,6 +91,11 @@ class VectorStore:
     ivf_doc_ids: Optional[np.ndarray] = None    # [n_cells*S] i32 cell
                                                 # permutation, -1 = pad
     ivf_cell_size: int = 0
+    build_params: Optional[Dict] = None  # the build recipe (finetune/
+                                         # rerank/pq/mv args) stamped
+                                         # into the manifest so eval
+                                         # provenance can name what a
+                                         # store actually is
 
     def ivf_index(self):
         """Materialize the :class:`legal_rag_tpu.ops.pq.IVFIndex` from
@@ -225,6 +230,7 @@ class VectorStore:
             "encoder": self.encoder_info,
             "corpus_hash": self.corpus_hash,
             "ce_alpha": float(self.ce_alpha),
+            "build_params": self.build_params,
             "artifacts": {
                 name: _sha256(store_dir / name) for name in artifacts
             },
@@ -330,4 +336,5 @@ class VectorStore:
             ivf_centroids=ivf_centroids,
             ivf_doc_ids=ivf_doc_ids,
             ivf_cell_size=ivf_cell_size,
+            build_params=manifest.get("build_params"),
         )

@@ -228,6 +228,7 @@ def _provenance(engine) -> Dict:
             corpus_hash=(getattr(store, "corpus_hash", "") or "")[:16],
             cross_encoder=getattr(store, "ce_params", None) is not None,
             multi_vector=getattr(store, "mv_tokens", None) is not None,
+            build_params=getattr(store, "build_params", None),
         )
         emb = getattr(store, "embeddings", None)
         if emb is not None:
