@@ -442,16 +442,29 @@ def pq_topk(
         seg_m = jnp.where(seg_start[None, :] < n_valid, seg_m, _NEG_F32)
 
     # phase 2: top segments, gather their members' codes, exact PQ
-    # rescore of just those docs, final (score desc, id asc) order
-    kk = min(k + 16, nb * segs_per_block)
-    _, seg_pos = jax.lax.top_k(seg_m, kk)                   # [Q, kk]
+    # rescore of just those docs, final (score desc, id asc) order.
+    # Round 4: the segment select reuses the dense kernel's two-level
+    # (super-segment) machinery — the flat lax.top_k over
+    # [Q, N/seg_rows] cost 1.9 ms at 1M docs (O(k*width) VPU work,
+    # the round-3 roofline finding) — and the candidate gather moves
+    # whole segments (one contiguous seg_rows*m-byte row of the free
+    # [N/sr, sr*m] view) instead of seg_rows separate m-byte rows.
+    from legal_rag_tpu.ops.dense import _select_segments
+
+    n_segs = nb * segs_per_block
+    kk = min(k + 16, n_segs)
+    seg_pos = _select_segments(seg_m, kk, n_segs)           # [Q, kk]
     member = (
         seg_pos[:, :, None] * seg_rows
         + jax.lax.broadcasted_iota(jnp.int32, (q, kk, seg_rows), 2)
     ).reshape(q, kk * seg_rows)
     member_safe = jnp.clip(member, 0, np_ - 1)
 
-    cand_codes = jnp.take(codes, member_safe, axis=0)       # [Q, C, m]
+    codes_seg = codes.reshape(np_ // seg_rows, seg_rows * m)
+    seg_safe = jnp.clip(seg_pos, 0, np_ // seg_rows - 1)
+    cand_codes = jnp.take(codes_seg, seg_safe, axis=0).reshape(
+        q, kk * seg_rows, m
+    )                                                       # [Q, C, m]
     cw = member_safe.shape[1]
     # unpack nibbles: [Q, C, 2m]
     cand_nibs = jnp.stack(
