@@ -59,6 +59,7 @@ def _cmd_build(args) -> int:
         args.source,
         store_dir=args.store,
         finetune_steps=args.finetune_steps,
+        finetune_token_weight=args.finetune_token_weight,
         pq_m=args.pq_m,
         ivf_cell_size=args.ivf_cell_size,
         rerank_steps=args.rerank_steps,
@@ -357,6 +358,14 @@ def main(argv=None) -> int:
         help="train + persist the cross-encoder reranker checkpoint "
              "(0 = off); stores carrying it serve with the joint-"
              "attention precision stage auto-enabled",
+    )
+    p.add_argument(
+        "--finetune-token-weight", type=float, default=0.0,
+        dest="finetune_token_weight", metavar="W",
+        help="blend a token-level late-interaction InfoNCE term into "
+             "the encoder finetune (trains the per-token states the "
+             "--multi-vector tier serves; see BASELINE.md round-4 "
+             "MaxSim table for why); 0 keeps the pooled-only recipe",
     )
     p.add_argument(
         "--rerank-sibling-prob", type=float, default=0.0,

@@ -41,6 +41,7 @@ def build_index(
     config: RetrievalConfig = DEFAULT_CONFIG,
     store_dir=None,
     finetune_steps: int = 0,
+    finetune_token_weight: float = 0.0,
     pq_m: int = 0,
     ivf_cell_size: int = 0,
     rerank_steps: int = 0,
@@ -110,9 +111,11 @@ def build_index(
         # change can never leave matching hashes on stale stores
         from legal_rag_tpu.models.finetune import SIBLING_PROB_DEFAULT
 
-        h.update(
-            f"finetune:{finetune_steps}:sib{SIBLING_PROB_DEFAULT}".encode()
-        )
+        ftag = f"finetune:{finetune_steps}:sib{SIBLING_PROB_DEFAULT}"
+        if finetune_token_weight:
+            # round-4 token-level (late-interaction) co-training
+            ftag += f":tok{finetune_token_weight}"
+        h.update(ftag.encode())
     if pq_m:
         # "opq8" fingerprints the quantizer recipe (8 OPQ iterations);
         # bump if the training procedure changes so stale stores rebuild
@@ -167,6 +170,7 @@ def build_index(
             steps=finetune_steps,
             log_fn=log_fn,
             chunks=chunks,
+            token_maxsim_weight=finetune_token_weight,
         )
         if log_fn:
             log_fn(
@@ -243,6 +247,7 @@ def build_index(
         corpus_hash=corpus_hash,
         build_params={
             "finetune_steps": finetune_steps,
+            "finetune_token_weight": finetune_token_weight,
             "pq_m": pq_m,
             "ivf_cell_size": ivf_cell_size,
             "rerank_steps": rerank_steps,

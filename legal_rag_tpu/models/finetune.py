@@ -131,12 +131,22 @@ def finetune_encoder(
     log_fn=None,
     chunks: Optional[Sequence[dict]] = None,
     sibling_prob: float = SIBLING_PROB_DEFAULT,
+    token_maxsim_weight: float = 0.0,
 ) -> Tuple[SentenceEncoder, List[float]]:
     """Fine-tune in place-ish: returns a NEW SentenceEncoder holding the
     trained params (tokenizer shared) plus the loss history.
 
     ``batch_size`` is the GLOBAL batch; it must divide by the mesh
     size. Negatives are the whole global batch (cross-shard gather).
+
+    ``token_maxsim_weight`` (round 4): blends a token-level
+    late-interaction InfoNCE term into the loss (models/train.py
+    contrastive_loss_local) so the per-token hidden states the
+    multi-vector tier serves are actually trained for MaxSim — the
+    round-4 eval showed pooled-only training leaves them worse than
+    useless for late interaction (full-scan MaxSim below plain dense
+    on both splits, BASELINE.md round-4 table). 0.0 = the pooled-only
+    recipe, byte-identical.
     """
     n_shards = mesh.shape["shard"]
     if batch_size % n_shards:
@@ -146,7 +156,8 @@ def finetune_encoder(
     params = encoder.params
     opt_state = optimizer.init(params)
     step = make_train_step(
-        encoder.cfg, optimizer, mesh, temperature=temperature
+        encoder.cfg, optimizer, mesh, temperature=temperature,
+        maxsim_weight=token_maxsim_weight,
     )
 
     rng = np.random.default_rng(seed)
