@@ -541,19 +541,22 @@ def sharded_hybrid_search(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "k", "n_docs", "block_n", "precision"),
+    static_argnames=(
+        "mesh", "k", "n_docs", "block_n", "precision", "data_axis",
+    ),
 )
 def sharded_maxsim_topk(
     doc_tokens: jax.Array,   # [Npad, Td, D] row-sharded over AXIS
     doc_mask: jax.Array,     # [Npad, Td] row-sharded
-    q_tokens: jax.Array,     # [Q, Tq, D] replicated
-    q_mask: jax.Array,       # [Q, Tq] replicated
+    q_tokens: jax.Array,     # [Q, Tq, D] replicated (or data-sharded)
+    q_mask: jax.Array,       # [Q, Tq] replicated (or data-sharded)
     *,
     mesh: Mesh,
     k: int,
     n_docs: int,
     block_n: int = 512,
     precision: jax.lax.Precision = jax.lax.Precision.DEFAULT,
+    data_axis: Optional[str] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Sharded late-interaction (MaxSim) top-k over the mesh.
 
@@ -567,6 +570,11 @@ def sharded_maxsim_topk(
 
     Returns ``(scores [Q, k] f32, ids [Q, k] i32)``; slots beyond the
     corpus (k > n_docs) carry ``(-inf, -1)``.
+
+    ``data_axis``: on a 2-D ``(data, shard)`` mesh the query batch
+    additionally shards over this axis (pure data parallelism; the
+    slab replicates across rows and the merge stays within a row) —
+    the same contract as :func:`sharded_hybrid_search`.
     """
     from legal_rag_tpu.ops.maxsim import maxsim_topk
 
@@ -574,6 +582,11 @@ def sharded_maxsim_topk(
     n_pad = doc_tokens.shape[0]
     n_local = n_pad // n_shards
     kl = min(k, n_local)
+    if data_axis is not None and q_tokens.shape[0] % mesh.shape[data_axis]:
+        raise ValueError(
+            f"query batch {q_tokens.shape[0]} must divide data axis "
+            f"size {mesh.shape[data_axis]}"
+        )
 
     def body(dt, dm, qt, qm):
         q = qt.shape[0]
@@ -612,14 +625,15 @@ def sharded_maxsim_topk(
         out_i = jnp.where(out_i >= n_docs, -1, out_i)
         return out_s, out_i.astype(jnp.int32)
 
+    dax = data_axis
     return shard_map(
         body,
         mesh=mesh,
         in_specs=(
             P(AXIS, None, None), P(AXIS, None),
-            P(None, None, None), P(None, None),
+            P(dax, None, None), P(dax, None),
         ),
-        out_specs=(P(None, None), P(None, None)),
+        out_specs=(P(dax, None), P(dax, None)),
         check_vma=False,
     )(doc_tokens, doc_mask, q_tokens, q_mask)
 
@@ -628,6 +642,7 @@ def sharded_maxsim_topk(
     jax.jit,
     static_argnames=(
         "mesh", "k", "c", "n_docs", "block_n", "block_q", "precision",
+        "data_axis",
     ),
 )
 def sharded_maxsim_rerank_topk(
@@ -645,6 +660,7 @@ def sharded_maxsim_rerank_topk(
     block_n: int = 1024,
     block_q: int = 8,
     precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
+    data_axis: Optional[str] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Dense-first late interaction: the capacity-safe MaxSim tier.
 
@@ -675,6 +691,11 @@ def sharded_maxsim_rerank_topk(
     n_local = n_pad // n_shards
     cl = min(c, n_local)
     kl = min(k, cl)
+    if data_axis is not None and q_emb.shape[0] % mesh.shape[data_axis]:
+        raise ValueError(
+            f"query batch {q_emb.shape[0]} must divide data axis "
+            f"size {mesh.shape[data_axis]}"
+        )
 
     def body(d_local, dt, dm, qe, qt, qm):
         q = qe.shape[0]
@@ -716,14 +737,15 @@ def sharded_maxsim_rerank_topk(
         out_i = jnp.where(out_i >= n_docs, -1, out_i)
         return out_s, out_i.astype(jnp.int32)
 
+    dax = data_axis
     return shard_map(
         body,
         mesh=mesh,
         in_specs=(
             P(AXIS, None), P(AXIS, None, None), P(AXIS, None),
-            P(None, None), P(None, None, None), P(None, None),
+            P(dax, None), P(dax, None, None), P(dax, None),
         ),
-        out_specs=(P(None, None), P(None, None)),
+        out_specs=(P(dax, None), P(dax, None)),
         check_vma=False,
     )(docs, doc_tokens, doc_mask, q_emb, q_tokens, q_mask)
 

@@ -208,3 +208,66 @@ def test_engine_maxsim_rerank_self_retrieval(mv_store, corpus_texts):
         assert row, "maxsim-rerank mode returned no results"
         assert row[0].doc_id == expected
         assert row[0].keyword == 0.0            # no sparse side
+
+
+def test_maxsim_2d_mesh_matches_1d(mv_store):
+    """Both late-interaction programs on a 2-D (data x shard) mesh are
+    bit-identical to the 1-D program (same contract as the hybrid)."""
+    from legal_rag_tpu.parallel.mesh import make_mesh_2d
+    from legal_rag_tpu.parallel.sharded import (
+        ShardedIndex, sharded_maxsim_topk, sharded_maxsim_rerank_topk,
+    )
+
+    toks = np.asarray(mv_store.mv_tokens, np.float32)
+    mask = np.asarray(mv_store.mv_mask, np.int32)
+    emb = np.asarray(mv_store.embeddings, np.float32)
+    rng = np.random.default_rng(23)
+    q = rng.standard_normal((8, 6, mv_store.dim)).astype(np.float32)
+    qm = np.ones((8, 6), np.int32)
+    q_emb = emb[[1, 9, 17, 25, 33, 41, 49, 57]]
+
+    mesh1 = make_mesh(4)
+    idx1 = ShardedMultiVectorIndex.from_arrays(
+        toks, mask, mesh1, dtype="float32"
+    )
+    s1, i1 = idx1.search(q, qm, k=5, block_n=64)
+
+    mesh2 = make_mesh_2d(2, 4)
+    idx2 = ShardedMultiVectorIndex.from_arrays(
+        toks, mask, mesh2, dtype="float32"
+    )
+    s2, i2 = sharded_maxsim_topk(
+        idx2.doc_tokens, idx2.doc_mask,
+        jnp.asarray(q), jnp.asarray(qm),
+        mesh=mesh2, k=5, n_docs=mv_store.n_docs, block_n=64,
+        data_axis="data",
+    )
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(i1))
+    np.testing.assert_allclose(
+        np.asarray(s2), np.asarray(s1), rtol=1e-5, atol=1e-6
+    )
+
+    # dense-first rerank, full local coverage: 2-D == 1-D == full scan
+    sidx1 = ShardedIndex.from_embeddings(emb, mesh1, dtype="float32")
+    midx1 = ShardedMultiVectorIndex.from_arrays(
+        toks, mask, mesh1, dtype="float32",
+        n_pad=int(sidx1.docs.shape[0]),
+    )
+    r1s, r1i = midx1.rerank_search(
+        sidx1, q_emb, q, qm, k=5, c=mv_store.n_docs,
+    )
+    sidx2 = ShardedIndex.from_embeddings(emb, mesh2, dtype="float32")
+    midx2 = ShardedMultiVectorIndex.from_arrays(
+        toks, mask, mesh2, dtype="float32",
+        n_pad=int(sidx2.docs.shape[0]),
+    )
+    r2s, r2i = sharded_maxsim_rerank_topk(
+        sidx2.docs, midx2.doc_tokens, midx2.doc_mask,
+        jnp.asarray(q_emb), jnp.asarray(q, np.float32), jnp.asarray(qm),
+        mesh=mesh2, k=5, c=mv_store.n_docs, n_docs=mv_store.n_docs,
+        data_axis="data",
+    )
+    np.testing.assert_array_equal(np.asarray(r2i), np.asarray(r1i))
+    np.testing.assert_allclose(
+        np.asarray(r2s), np.asarray(r1s), rtol=1e-5, atol=1e-6
+    )
