@@ -71,6 +71,28 @@ _OFFENCE_FORMS = {
     "murdered": "murder",
     "extorted": "extortion",
     "molested": "molestation",
+    # paraphrase forms (round 4): victims rarely use the statute's
+    # vocabulary — these high-precision phrasings map scenario
+    # descriptions to the offence entity so the distress heuristics
+    # (pronoun + offence) still fire (quality.py PARAPHRASE_SUITE)
+    "snatched": "theft",
+    "grabbed my": "theft",
+    "pickpocket": "theft",
+    "following me": "stalking",
+    "follows me everywhere": "stalking",
+    "keeps messaging me": "stalking",
+    "acid thrown": "acid attack",
+    "threw acid": "acid attack",
+    "corrosive liquid": "acid attack",
+    "corrosive substance": "acid attack",
+    "ransom": "kidnapping",
+    "lured away": "kidnapping",
+    "demanding dowry": "dowry",
+    "dowry demand": "dowry",
+    "sold me fake": "cheating",
+    "defrauded": "cheating",
+    "blackmail": "extortion",
+    "blackmailed": "extortion",
 }
 _LAWS = ("BNS", "BNSS", "BSA", "NALSA", "IPC", "CRPC")
 
@@ -116,12 +138,17 @@ def classify_heuristic(query: str) -> QueryIntent:
     if "fir" in q.split() or "zero fir" in q:
         entities.append("FIR")
 
+    # an offence is "present" if named directly OR recognized through a
+    # verb/paraphrase form above (the canonical entity then sits in
+    # `entities`) — victims describing the scenario in their own words
+    # must trigger the same distress handling as statute vocabulary
+    has_offence = any(off in q for off in _OFFENCES) or any(
+        e in _OFFENCES for e in entities
+    )
     context = "informational"
     if any(m in q for m in _PROFESSIONAL_MARKERS):
         context = "professional"
-    elif any(m in q for m in _DISTRESS_MARKERS) and any(
-        off in q for off in _OFFENCES
-    ):
+    elif any(m in q for m in _DISTRESS_MARKERS) and has_offence:
         context = "victim_distress"
     elif re.search(r"\b(i|my|me)\b", q) and any(
         w in q for w in ("robbed", "attacked", "raped", "assaulted", "stolen",

@@ -28,6 +28,14 @@ from legal_rag_tpu.retrieval.facade import LegalEngine
     ("What is Section 302 of BNS?", "definition", "informational"),
     ("I am a lawyer looking for high court powers", "court_power", "professional"),
     ("How to file FIR?", "procedure", "informational"),
+    # round-4 paraphrase forms: scenario vocabulary, no statute terms
+    ("A man grabbed my gold chain and ran", "procedure", "victim_distress"),
+    ("My ex keeps following me around after I told him to stop",
+     "procedure", "victim_distress"),
+    ("Someone threw a corrosive liquid at my cousin", "procedure",
+     "victim_distress"),
+    ("How many hours can police hold someone before a judge sees them?",
+     "general_explanation", "informational"),
 ])
 def test_heuristic_classifier(query, category, context):
     intent = classify_heuristic(query)
