@@ -24,11 +24,14 @@ RUN make -C legal_rag_tpu/native || true
 # a corpus still builds; serving can also build at first start from a
 # mounted corpus via LEGAL_RAG_CORPUS.
 #
-# RERANK_STEPS=auto trains the 12k-step cross-encoder ONLY when the
-# build host exposes a TPU: CE training is ~11 s/step on CPU (measured,
-# BASELINE.md reranker post-mortem), so a CPU-only `docker build` would
-# otherwise spend ~36 h in this RUN. Override with --build-arg
-# RERANK_STEPS=N to force a count on any platform.
+# RERANK_STEPS=auto is a guard against the CPU hang, NOT a TPU
+# detector: CE training is ~11 s/step on CPU (measured, BASELINE.md
+# reranker post-mortem), so a CPU build would spend ~36 h in this RUN.
+# `docker build` does not pass accelerator devices into build
+# containers, so auto resolves to 0 even on a TPU VM — to bake the
+# cross-encoder you MUST pass --build-arg RERANK_STEPS=12000 (and run
+# the build where that's affordable). The resolved count is echoed in
+# the build log.
 ARG FINETUNE_STEPS=4000
 ARG RERANK_STEPS=auto
 COPY README.md corpus* /corpus/
@@ -38,6 +41,7 @@ RUN if ls /corpus/*.md /corpus/*.json >/dev/null 2>&1 \
         if [ "$RS" = "auto" ]; then \
             RS=$(python -c "import jax; print(12000 if jax.default_backend() == 'tpu' else 0)"); \
         fi; \
+        echo "RERANK_STEPS resolved to ${RS} (auto=0 unless the build container itself sees a TPU; pass --build-arg RERANK_STEPS=12000 to bake the cross-encoder)"; \
         python -m legal_rag_tpu build --source /corpus --store /app/data/store --finetune-steps ${FINETUNE_STEPS} --rerank-steps ${RS}; \
     fi
 

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import functools
 import os
+import threading
 from typing import Optional, Tuple
 
 import numpy as np
@@ -552,28 +553,56 @@ TWOPHASE_SEG_ROWS = 8
 _KERNEL_T_OK: dict = {}
 
 
+def _probe_kernel_transpose(docs_dtype) -> bool:
+    """Compile+run the transposed-output kernel on a tiny shape.
+
+    The resolution of ``kernel_transpose=None`` happens while TRACING
+    the production dispatch (the caller sits inside jit/shard_map), so
+    the probe must escape the ambient trace — a probe that runs UNDER
+    the trace sees Tracers, raises ``AttributeError`` on
+    ``block_until_ready``, and silently caches False (disabling the
+    in-kernel transpose everywhere) while deferring any genuine Mosaic
+    rejection to the outer program's compile. JAX's trace stack is
+    thread-local, so a fresh thread gives the probe a clean eager
+    context: the tiny inputs are concrete, the nested jit compiles and
+    executes for real, and a rejection surfaces HERE (degrade to the
+    XLA-transpose layout), never at the production dispatch.
+    """
+
+    def run() -> None:
+        try:
+            if jnp.dtype(docs_dtype) == jnp.int8:
+                q = jnp.zeros((8, 128), jnp.float32)
+                d = jnp.zeros((1024, 128), jnp.int8)
+                kw = {"doc_scales": jnp.ones((1024,), jnp.float32)}
+            else:
+                q = jnp.zeros((8, 128), docs_dtype)
+                d = jnp.zeros((1024, 128), docs_dtype)
+                kw = {}
+            out = dense_topk_twophase_rm(
+                q, d, 2, block_n=1024, seg_rows=8,
+                kernel_transpose=True,
+                interpret=jax.default_backend() != "tpu", **kw,
+            )[0]
+            out.block_until_ready()
+            result["ok"] = True
+        except Exception:  # noqa: BLE001 — Mosaic rejection
+            result["ok"] = False
+
+    result: dict = {}
+    t = threading.Thread(target=run, name="rm-kernel-t-probe")
+    t.start()
+    t.join()
+    return result.get("ok", False)
+
+
 def _kernel_transpose_supported(docs_dtype=jnp.bfloat16) -> bool:
     key = str(jnp.dtype(docs_dtype))
     if key not in _KERNEL_T_OK:
         if jax.default_backend() != "tpu":
             _KERNEL_T_OK[key] = True  # CPU interpret handles transposes
         else:
-            try:
-                if jnp.dtype(docs_dtype) == jnp.int8:
-                    q = jnp.zeros((8, 128), jnp.float32)
-                    d = jnp.zeros((1024, 128), jnp.int8)
-                    kw = {"doc_scales": jnp.ones((1024,), jnp.float32)}
-                else:
-                    q = jnp.zeros((8, 128), docs_dtype)
-                    d = jnp.zeros((1024, 128), docs_dtype)
-                    kw = {}
-                dense_topk_twophase_rm(
-                    q, d, 2, block_n=1024, seg_rows=8,
-                    kernel_transpose=True, **kw,
-                )[0].block_until_ready()
-                _KERNEL_T_OK[key] = True
-            except Exception:  # noqa: BLE001 — Mosaic rejection
-                _KERNEL_T_OK[key] = False
+            _KERNEL_T_OK[key] = _probe_kernel_transpose(docs_dtype)
     return _KERNEL_T_OK[key]
 
 

@@ -646,6 +646,7 @@ def build_ivf(
 def _pq_ivf_topk_impl(
     queries, centroids, cell_codes, cell_doc_ids, codebooks,
     k: int, probes: int, cell_size: int, interpret: bool,
+    q_valid=None,
 ):
     q, _ = queries.shape
     n_cells = centroids.shape[0]
@@ -666,11 +667,27 @@ def _pq_ivf_topk_impl(
         cell_doc_ids.reshape(n_cells, cell_size)[:, 0] >= 0
     )
     cell_scores = jnp.where(cell_valid[None, :], cell_scores, -jnp.inf)
+    # ``q_valid`` ([Q] bool, traced): PADDED queries (batch rounded to a
+    # stable trace shape) must not vote — their '' embeddings otherwise
+    # claim guaranteed cells and steer the shared remainder, spending
+    # real read budget on rows whose results are discarded. Masked rows
+    # go fully -inf so neither the per-query guarantee nor the shared
+    # aggregate sees them (reads stay static: `probes` doesn't change,
+    # every probed cell just serves a real query).
+    if q_valid is not None:
+        cell_scores = jnp.where(q_valid[:, None], cell_scores, -jnp.inf)
     t = max(1, min(probes // q, n_cells))
     _, per_q = jax.lax.top_k(cell_scores, t)            # [Q, t]
+    vote = (
+        jnp.ones((q, t), jnp.float32)
+        if q_valid is None
+        else jnp.broadcast_to(
+            q_valid[:, None].astype(jnp.float32), (q, t)
+        )
+    )
     picked = jnp.zeros((n_cells,), jnp.float32).at[
         per_q.reshape(-1)
-    ].set(1.0)
+    ].max(vote.reshape(-1))
     agg = jnp.max(cell_scores, axis=0)
     _, sel = jax.lax.top_k(agg + picked * 1e10, probes)
     # ascending cell order => the padded tail cell (id n_cells-1) lands
@@ -707,8 +724,14 @@ def pq_ivf_topk(
     *,
     probes: int = 64,
     interpret: bool = False,
+    q_valid: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Top-k PQ candidates scanning only ``probes`` cells — o(N).
+
+    ``q_valid`` ([Q] bool): mark PADDED batch rows so they neither
+    claim guaranteed cells nor steer the shared probe set — the whole
+    budget serves real queries (rows marked invalid return garbage;
+    discard them).
 
     The flat ``pq_topk`` reads all N codes per batch; this reads
     ``probes * cell_size`` rows (one contiguous slice per probed cell),
@@ -732,5 +755,5 @@ def pq_ivf_topk(
     return _pq_ivf_topk_impl(
         queries, jnp.asarray(ivf.centroids), jnp.asarray(ivf.codes),
         jnp.asarray(ivf.doc_ids), jnp.asarray(codebooks),
-        k, probes, ivf.cell_size, interpret,
+        k, probes, ivf.cell_size, interpret, q_valid=q_valid,
     )

@@ -194,7 +194,7 @@ def _local_pq_topc(q, codes_local, codebooks, base, n_docs, c, interpret):
 
 def _local_pq_ivf_topc(
     q, codes_local, ids_local, cent_local, codebooks, c, probes,
-    cell_size, interpret,
+    cell_size, interpret, q_valid=None,
 ):
     """Local [Q, C] PQ candidates via IVF coarse pruning (ops/pq.py).
 
@@ -210,6 +210,10 @@ def _local_pq_ivf_topc(
     is guaranteed a single cell). The budget therefore scales with the
     batch — every query keeps >= 4 guaranteed own cells — trading
     bounded extra code reads for recall instead of silently degrading.
+    The floor necessarily uses the TRACE (padded) batch size — shapes
+    are static — so pow-2 query padding over-reads at most 2x the
+    real-count floor; ``q_valid`` keeps the whole budget useful by
+    excluding padded rows from the probe-set vote.
     """
     from legal_rag_tpu.ops.pq import _pq_ivf_topk_impl
 
@@ -217,7 +221,7 @@ def _local_pq_ivf_topc(
     kk = min(c, p * cell_size)
     s, i = _pq_ivf_topk_impl(
         q, cent_local, codes_local, ids_local, codebooks,
-        kk, p, cell_size, interpret,
+        kk, p, cell_size, interpret, q_valid=q_valid,
     )
     if kk < c:
         qn = q.shape[0]
@@ -333,6 +337,7 @@ def sharded_hybrid_search(
     pq_interpret: Optional[bool] = None,
     ivf_probes: int = 64,
     ivf_cell_size: int = 1024,
+    n_queries: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Returns ``(fused [Q,k], ids [Q,k], sem [Q,k], keyword [Q,k])``.
 
@@ -393,8 +398,17 @@ def sharded_hybrid_search(
         ivf_centroids = jnp.zeros((1, 1), dtype=jnp.float32)
         ivf_doc_ids = jnp.zeros((1,), dtype=jnp.int32)
 
-    def body(docs_local, scales_local, cb, ivf_cent, ivf_ids, pids, pw,
-             qe, w):
+    # real (unpadded) query count, TRACED so serving batches of any
+    # size share one compile; defaults to "all rows real"
+    nq = jnp.reshape(
+        jnp.asarray(
+            q_emb.shape[0] if n_queries is None else n_queries, jnp.int32
+        ),
+        (1,),
+    )
+
+    def body(docs_local, scales_local, cb, ivf_cent, ivf_ids, nqr, pids,
+             pw, qe, w):
         q = qe.shape[0]  # LOCAL query count (Q/data on a 2-D mesh)
         shard = jax.lax.axis_index(AXIS)
         base = (shard * n_local).astype(jnp.int32)
@@ -402,9 +416,19 @@ def sharded_hybrid_search(
 
         # ---- dense local candidates
         if is_ivf:
+            # padded batch rows (the engine rounds Q to a stable trace
+            # shape) must not spend IVF probe budget: mark real rows by
+            # GLOBAL query index (2-D meshes split Q contiguously over
+            # the data axis)
+            goff = (
+                jnp.int32(0)
+                if data_axis is None
+                else (jax.lax.axis_index(data_axis) * q).astype(jnp.int32)
+            )
+            q_valid = (jnp.arange(q, dtype=jnp.int32) + goff) < nqr[0]
             d_s, d_i = _local_pq_ivf_topc(
                 qe, docs_local, ivf_ids, ivf_cent, cb, c,
-                ivf_probes, ivf_cell_size, pq_interpret,
+                ivf_probes, ivf_cell_size, pq_interpret, q_valid=q_valid,
             )
         elif is_pq:
             d_s, d_i = _local_pq_topc(
@@ -530,12 +554,12 @@ def sharded_hybrid_search(
         mesh=mesh,
         in_specs=(
             spec_docs, P(AXIS), P(None, None, None),
-            spec_ivf_cent, spec_ivf_ids,
+            spec_ivf_cent, spec_ivf_ids, P(None),
             spec_q2, spec_q2, spec_q2, spec_q1,
         ),
         out_specs=(spec_q2, spec_q2, spec_q2, spec_q2),
         check_vma=False,
-    )(docs, doc_scales, pq_codebooks, ivf_centroids, ivf_doc_ids,
+    )(docs, doc_scales, pq_codebooks, ivf_centroids, ivf_doc_ids, nq,
       post_ids, post_w, q_emb, weights)
 
 
@@ -688,6 +712,15 @@ def sharded_maxsim_rerank_topk(
 
     n_shards = mesh.shape[AXIS]
     n_pad = docs.shape[0]
+    if doc_tokens.shape[0] != n_pad or doc_mask.shape[0] != n_pad:
+        # a mismatch silently rescales another shard-local document's
+        # tokens (local id = global id - dense base), so this must be
+        # a hard error, not an assert that -O strips
+        raise ValueError(
+            "dense tier and token slab must share row padding: docs "
+            f"{n_pad} vs doc_tokens {doc_tokens.shape[0]} / doc_mask "
+            f"{doc_mask.shape[0]}; build the slab with n_pad=docs.shape[0]"
+        )
     n_local = n_pad // n_shards
     cl = min(c, n_local)
     kl = min(k, cl)
@@ -1000,9 +1033,10 @@ class ShardedMultiVectorIndex:
         # rescore reads the shard-local slab by ``id - base``)
         if n_pad is None:
             n_pad = -(-n // n_shards) * n_shards
-        assert n_pad % n_shards == 0 and n_pad >= n, (
-            f"n_pad {n_pad} must be a >=N multiple of {n_shards}"
-        )
+        if n_pad % n_shards != 0 or n_pad < n:
+            raise ValueError(
+                f"n_pad {n_pad} must be a >=N multiple of {n_shards}"
+            )
         # Allocate the padded slab directly at the TARGET dtype and
         # fill in row chunks: the slab is the capacity-dominating
         # artifact (Td x the embedding matrix; the source arrives as
@@ -1049,12 +1083,13 @@ class ShardedMultiVectorIndex:
                 f"candidate stage (got {index.docs.dtype}); serve the "
                 "quantized tiers with mode='maxsim' or 'weighted'"
             )
-        assert index.docs.shape[0] == self.doc_tokens.shape[0], (
-            "single-vector matrix and token slab must share row "
-            f"padding ({index.docs.shape[0]} vs "
-            f"{self.doc_tokens.shape[0]}); build the slab with "
-            "n_pad=index.docs.shape[0]"
-        )
+        if index.docs.shape[0] != self.doc_tokens.shape[0]:
+            raise ValueError(
+                "single-vector matrix and token slab must share row "
+                f"padding ({index.docs.shape[0]} vs "
+                f"{self.doc_tokens.shape[0]}); build the slab with "
+                "n_pad=index.docs.shape[0]"
+            )
         q_tokens = jnp.asarray(q_tokens, dtype=self.doc_tokens.dtype)
         return sharded_maxsim_rerank_topk(
             index.docs, self.doc_tokens, self.doc_mask,

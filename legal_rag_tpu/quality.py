@@ -317,6 +317,12 @@ def run_quality_eval(
         "results": results,
     }
     if include_paraphrase:
+        if uses_llm:
+            # run_suite throttles BETWEEN its own queries; the boundary
+            # between the core and paraphrase suites needs the same gap
+            # or a rate-limit hit there records a spurious 'exception:'
+            # failure against the paraphrase gate
+            time.sleep(llm_throttle_s)
         para = run_suite(PARAPHRASE_SUITE)
         n_pass = sum(1 for r in para if r["passed"])
         report["paraphrase"] = {

@@ -292,6 +292,7 @@ class RetrievalEngine:
                 block_q=cfg.dense.block_q,
                 ivf_probes=cfg.dense.ivf_probes,
                 ivf_cell_size=self.index.ivf_cell_size,
+                n_queries=jnp.int32(n_real),
             )
             scores, ids = np.asarray(scores), np.asarray(ids)
             sem, key = np.asarray(sem), np.asarray(key)

@@ -262,6 +262,18 @@ class HttpApp:
                 "with `build --multi-vector <token_budget>` to serve "
                 "late-interaction modes"
             }
+        if mode == "maxsim-rerank" and engine.config.dense.dtype not in (
+            "float32", "bfloat16"
+        ):
+            # rerank_search raises on quantized dense tiers; surface it
+            # as the 422 this endpoint's validation contract promises,
+            # not a 500 from the engine
+            return 422, {
+                "detail": "maxsim-rerank needs a float32/bfloat16 dense "
+                f"tier for its candidate stage (store serves dtype="
+                f"'{engine.config.dense.dtype}'); use fusion_mode "
+                "'maxsim' or 'weighted' on quantized tiers"
+            }
         try:
             batched = await asyncio.get_event_loop().run_in_executor(
                 None,

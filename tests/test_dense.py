@@ -474,3 +474,23 @@ def test_int8_recall_after_rescore_per_segment_quantization():
         len(set(ids[r]) & set(gold[r])) / 10 for r in range(8)
     ])
     assert rec == 1.0, rec
+
+
+def test_kernel_transpose_probe_escapes_ambient_trace():
+    """The kernel_transpose=None resolution happens while TRACING the
+    production dispatch (sharded._local_dense_topc sits inside
+    jit/shard_map). The probe must execute eagerly there — a traced
+    probe sees Tracers, raises, and silently caches False, disabling
+    the in-kernel transpose everywhere (round-4 regression)."""
+    import jax
+
+    import legal_rag_tpu.ops.dense as dm
+
+    seen = {}
+
+    def f(x):
+        seen["ok"] = dm._probe_kernel_transpose(jnp.bfloat16)
+        return x
+
+    jax.jit(f)(jnp.ones((4,)))
+    assert seen["ok"] is True

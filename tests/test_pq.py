@@ -676,3 +676,64 @@ def test_ivf_empty_pad_cells_unselectable_for_negative_queries():
         interpret=True,
     )
     np.testing.assert_array_equal(np.sort(i, 1), np.sort(np.asarray(fi), 1))
+
+
+def test_ivf_q_valid_excludes_padded_queries_from_probe_vote():
+    """Serving pads the query batch to a stable trace shape; the padded
+    rows' embeddings must not claim guaranteed cells or steer the
+    shared probe set (q_valid masks their vote). Without the mask,
+    high-magnitude pad rows displace real queries' cells from a tight
+    probe budget — the failure this regression pins."""
+    from legal_rag_tpu.ops.pq import _pq_ivf_topk_impl, encode_pq, pq_topk, train_pq
+
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((6, D)).astype(np.float32) * 4
+    docs = np.concatenate([
+        c + 0.05 * rng.standard_normal((16, D)).astype(np.float32)
+        for c in centers
+    ])
+    docs /= np.linalg.norm(docs, axis=1, keepdims=True)
+    cb = train_pq(docs, m=M, iters=6, seed=0)
+    codes = encode_pq(docs, cb)
+
+    # manual cell layout = the true clusters (cell i holds docs
+    # [16i, 16(i+1))) so the probe budget's behavior is deterministic
+    cents = np.stack([docs[16 * i:16 * (i + 1)].mean(0) for i in range(6)])
+    ids = np.arange(96, dtype=np.int32)
+
+    # 2 real queries aimed at clusters 4/5; 2 "padding" rows aimed at
+    # clusters 0/1. With probes=2 < Q=4 every row is guaranteed one own
+    # cell but only two fit, and all picked cells tie at the +1e10 bias
+    # (fp32 swallows the score), so the LOWEST-indexed picked cells win
+    # — the pad rows' cells displace the real queries' whenever the pad
+    # rows are allowed to vote
+    q = np.stack([
+        docs[64], docs[80], 3.0 * docs[0], 3.0 * docs[16],
+    ]).astype(np.float32)
+    args = (
+        jnp.asarray(q), jnp.asarray(cents), jnp.asarray(codes),
+        jnp.asarray(ids), jnp.asarray(cb.codebooks),
+    )
+    k, probes = 3, 2
+
+    fs, fi = pq_topk(
+        jnp.asarray(q[:2]), jnp.asarray(codes), cb.codebooks, k,
+        interpret=True,
+    )
+    # sanity: with clean 4-sigma clusters each query's flat top-k stays
+    # inside its own cluster, i.e. inside ONE cell
+    assert (np.asarray(fi)[0] // 16 == 4).all()
+    assert (np.asarray(fi)[1] // 16 == 5).all()
+
+    # masked: the 2-cell budget probes exactly the real queries' cells
+    # -> candidates match the flat PQ scan
+    s_m, i_m = _pq_ivf_topk_impl(
+        *args, k, probes, 16, True,
+        q_valid=jnp.asarray([True, True, False, False]),
+    )
+    np.testing.assert_array_equal(np.asarray(i_m)[:2], np.asarray(fi))
+
+    # unmasked: the pad rows' decoy cells win the budget and the real
+    # queries lose their own cells (the bug the mask fixes)
+    s_u, i_u = _pq_ivf_topk_impl(*args, k, probes, 16, True)
+    assert not np.array_equal(np.asarray(i_u)[:2], np.asarray(fi))

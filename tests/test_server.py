@@ -473,3 +473,37 @@ def test_engine_host_config_plumb(monkeypatch):
     host2 = EngineHost(store_dir="/tmp/whatever")
     host2._load()
     assert "config" not in captured or captured["config"] is None
+
+
+def test_batch_search_maxsim_rerank_quantized_tier_is_422():
+    """maxsim-rerank on a store WITH multi-vector artifacts but a
+    quantized (int8/pq) dense tier must 422 at validation — the engine
+    would raise (rerank_search needs a float candidate stage) and the
+    handler would otherwise surface that as a 500."""
+    import asyncio
+    import dataclasses
+    import json as _json
+
+    from legal_rag_tpu.config import DEFAULT_CONFIG, DenseConfig
+    from legal_rag_tpu.server.app import EngineHost, HttpApp
+
+    class _Store:
+        mv_tokens = object()      # present
+
+    class _Core:
+        config = dataclasses.replace(
+            DEFAULT_CONFIG, dense=DenseConfig(dtype="pq")
+        )
+        store = _Store()
+
+    class _LegalEngine:
+        engine = _Core()
+
+    app = HttpApp(EngineHost(engine=_LegalEngine()))
+    status, body = asyncio.run(
+        app._batch_search(_json.dumps(
+            {"queries": ["x"], "fusion_mode": "maxsim-rerank"}
+        ).encode())
+    )
+    assert status == 422
+    assert "maxsim-rerank" in body["detail"] and "pq" in body["detail"]
