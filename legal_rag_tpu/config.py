@@ -67,6 +67,13 @@ class FusionConfig:
     procedural_weight: float = 0.6  # reference orchestrator.py:56
     rrf_k: int = 60
     candidate_multiplier: int = 2   # dense candidates = multiplier * k
+    # CE blend for short heading-register queries (the reranker's
+    # training distribution; models/cross_encoder.py ce_policy_alpha).
+    # None disables the form policy — every query uses the store's
+    # gate-fit ce_alpha. Enable only with a measured policy row in
+    # EVAL_CE_PARAPHRASE.json (splits gain on structure, no paraphrase
+    # regression).
+    ce_heading_alpha: "float | None" = None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -176,6 +176,40 @@ def blend_scores(
     return (1.0 - alpha) * norm(base_scores) + alpha * norm(ce_scores)
 
 
+# Queries at most this many words count as "heading-like" — the
+# register the CE was trained on (title -> chunk pairs with BM25 hard
+# negatives, train_cross_encoder_hard). EVAL_CE_PARAPHRASE.json
+# measures the CE's value by query form: heading-register (structure
+# split, titles) peaks at alpha=0.7 (+0.052 MRR, CI>0) while long
+# descriptive queries (paraphrase split, 12-word spans) are already
+# significantly HURT at alpha=0.3 — the blend should follow the form.
+HEADING_MAX_WORDS = 8
+
+
+def ce_policy_alpha(
+    query: str,
+    serving_alpha: float,
+    heading_alpha: "Optional[float]" = None,
+    distress: bool = False,
+) -> float:
+    """Per-query CE blend weight: give the reranker authority only on
+    queries inside its training distribution.
+
+    ``heading_alpha`` (measured structure-split optimum) applies to
+    short heading-like queries; everything else — long descriptive
+    queries and any victim-distress query — keeps the conservative
+    ``serving_alpha`` the build gate fit. Disabled (pure
+    ``serving_alpha``) when ``heading_alpha`` is None. The policy's
+    per-split value is measured by scripts/eval_ce_paraphrase.py's
+    policy rows, not assumed.
+    """
+    if heading_alpha is None or distress:
+        return serving_alpha
+    if len(query.split()) <= HEADING_MAX_WORDS:
+        return heading_alpha
+    return serving_alpha
+
+
 def make_ce_train_step(cfg: EncoderConfig, optimizer):
     """Listwise in-batch training step: row i's positive is doc i; all
     other rows' docs are its negatives. One [B*B, L] pair forward per

@@ -65,6 +65,7 @@ class LegalEngine:
         self.orchestrator = LegalOrchestrator(
             self.engine, classifier=QueryClassifier(classifier_llm),
             reranker=reranker, rerank_alpha=store.ce_alpha,
+            rerank_alpha_heading=self.engine.config.fusion.ce_heading_alpha,
         )
         self.responder = LegalResponder(responder_llm)
 

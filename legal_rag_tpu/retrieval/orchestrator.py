@@ -45,6 +45,7 @@ class LegalOrchestrator:
         reranker=None,
         rerank_candidates: int = 16,
         rerank_alpha: float = 1.0,
+        rerank_alpha_heading: Optional[float] = None,
     ):
         self.engine = engine
         self.classifier = classifier or QueryClassifier(llm)
@@ -57,6 +58,11 @@ class LegalOrchestrator:
         # CE blend weight fit by the build gate (store.ce_alpha):
         # final = (1-alpha)*minmax(base) + alpha*minmax(ce)
         self.rerank_alpha = rerank_alpha
+        # measured heading-form alpha (models/cross_encoder.py
+        # ce_policy_alpha): short heading-like queries take the
+        # structure-split optimum, everything else keeps rerank_alpha;
+        # None disables the policy
+        self.rerank_alpha_heading = rerank_alpha_heading
         # (law, section) -> section chunk, for parent expansion
         # (reference orchestrator.py:19-27)
         self.section_lookup: Dict[Tuple[str, str], Dict] = {}
@@ -106,13 +112,13 @@ class LegalOrchestrator:
                     merged.append(r.to_dict())
 
         if self.reranker is not None:
-            merged = self.rerank_results(query, merged, k=k)
+            merged = self.rerank_results(query, merged, k=k, intent=intent)
         prioritized = self.prioritize_results(merged, intent)
         expanded = self.expand_results(prioritized[:k])
         return {"intent": intent.to_dict(), "results": expanded}
 
     def rerank_results(
-        self, query: str, results: List[Dict], k: int = 0
+        self, query: str, results: List[Dict], k: int = 0, intent=None
     ) -> List[Dict]:
         """Cross-encoder precision stage: score every (query, candidate
         text) pair jointly in one batched forward, min-max normalize the
@@ -132,11 +138,19 @@ class LegalOrchestrator:
             return results
         texts = [r["chunk"]["text"] for r in pool]
         logits = self.reranker.score_pairs([query] * len(texts), texts)
-        from legal_rag_tpu.models.cross_encoder import blend_scores
+        from legal_rag_tpu.models.cross_encoder import (
+            blend_scores, ce_policy_alpha,
+        )
 
+        alpha = ce_policy_alpha(
+            query, self.rerank_alpha, self.rerank_alpha_heading,
+            distress=(
+                intent is not None
+                and intent.user_context == "victim_distress"
+            ),
+        )
         final = blend_scores(
-            logits, np.asarray([r["score"] for r in pool]),
-            self.rerank_alpha,
+            logits, np.asarray([r["score"] for r in pool]), alpha,
         )
         for r, logit, f in zip(pool, logits, final):
             r["retrieval_score"] = r["score"]

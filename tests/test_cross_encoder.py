@@ -350,3 +350,65 @@ def test_sibling_prob_without_chunks_raises(corpus):
         train_cross_encoder_hard(
             ce, corpus, chunks=None, steps=2, sibling_prob=0.5,
         )
+
+
+def test_ce_policy_alpha_by_query_form():
+    """Per-query CE blend: heading-like (short) queries take the
+    measured structure-split alpha; long descriptive queries and any
+    victim-distress query keep the conservative serving alpha; None
+    disables the policy entirely."""
+    from legal_rag_tpu.models.cross_encoder import (
+        HEADING_MAX_WORDS, ce_policy_alpha,
+    )
+
+    short = "punishment for robbery"
+    long_q = " ".join(["word"] * (HEADING_MAX_WORDS + 1))
+    assert ce_policy_alpha(short, 0.1, 0.7) == 0.7
+    assert ce_policy_alpha(long_q, 0.1, 0.7) == 0.1
+    assert ce_policy_alpha(short, 0.1, 0.7, distress=True) == 0.1
+    assert ce_policy_alpha(short, 0.1, None) == 0.1
+    assert ce_policy_alpha(long_q, 0.1, None) == 0.1
+
+
+def test_rerank_stage_applies_heading_alpha(corpus):
+    """With rerank_alpha_heading set, a short heading-like query blends
+    at the heading alpha (CE dominates) while rerank_alpha=0 would have
+    left base order untouched."""
+    from legal_rag_tpu.index.builder import build_index
+    from legal_rag_tpu.retrieval.engine import RetrievalEngine
+    from legal_rag_tpu.retrieval.orchestrator import LegalOrchestrator
+
+    chunks = [
+        {"text": t, "canonical_header": f"H{i}",
+         "metadata": {"law": "BNS", "section": str(i),
+                      "unit_type": "section"}}
+        for i, t in enumerate(corpus)
+    ]
+    rcfg = RetrievalConfig(encoder=CFG)
+    store = build_index(chunks, config=rcfg)
+    engine = RetrievalEngine(store, config=rcfg)
+
+    class FakeCE:
+        def score_pairs(self, queries, docs):
+            return np.array([float(len(d)) for d in docs])
+
+    pool = [
+        {"score": 0.9, "chunk": chunks[0]},
+        {"score": 0.5, "chunk": {"text": "x" * 500,
+                                 "canonical_header": "L",
+                                 "metadata": {}}},
+        {"score": 0.1, "chunk": chunks[1]},
+    ]
+    # alpha=0 (CE silenced) but heading alpha 1.0: a short query must
+    # still be reordered by the CE
+    orch = LegalOrchestrator(
+        engine, llm=None, reranker=FakeCE(), rerank_candidates=6,
+        rerank_alpha=0.0, rerank_alpha_heading=1.0,
+    )
+    out = orch.rerank_results("short query", [dict(r) for r in pool])
+    assert out[0]["chunk"]["canonical_header"] == "L"
+
+    # the same pool under a LONG query keeps base order (alpha=0)
+    long_q = " ".join(["w"] * 20)
+    out2 = orch.rerank_results(long_q, [dict(r) for r in pool])
+    assert out2[0]["chunk"]["canonical_header"] == "H0"
