@@ -689,7 +689,16 @@ def _pq_ivf_topk_impl(
         per_q.reshape(-1)
     ].max(vote.reshape(-1))
     agg = jnp.max(cell_scores, axis=0)
-    _, sel = jax.lax.top_k(agg + picked * 1e10, probes)
+    # two-key selection (picked first, then aggregate score): an
+    # additive +1e10 bias would swallow agg in fp32 and break ties by
+    # cell index, so whenever more cells are picked than the budget
+    # holds (probes < Q makes the guarantee infeasible) the winners
+    # would be the LOWEST-INDEXED picked cells, not the best-scoring
+    _, _, sel = jax.lax.sort(
+        (-picked, -agg, jnp.arange(n_cells, dtype=jnp.int32)),
+        num_keys=2,
+    )
+    sel = sel[:probes]
     # ascending cell order => the padded tail cell (id n_cells-1) lands
     # LAST in the gathered sub-corpus, so validity is a prefix count
     sel = jnp.sort(sel)
