@@ -26,7 +26,14 @@ class DenseConfig:
                              # (dense top-C always rides XLA since the
                              # r2 shootout; see parallel/sharded.py)
     int8_rescore: bool = True       # exact fp32 rescore of int8/pq candidates
-    int8_oversample: int = 4        # candidate oversampling factor for rescore
+    int8_oversample: int = 4        # candidate oversampling factor for the
+                                    # int8 tier's rescore (mild quantization)
+    pq_oversample: int = 64         # candidate oversampling for the pq tier:
+                                    # PQ(m=48) ADC distortion on a clustered
+                                    # 1M corpus needs 64x to restore
+                                    # post-rescore recall@10 to 1.00 flat /
+                                    # 0.958 ivf512 (EVAL_IVF_RECOVERY.json;
+                                    # 4x leaves it at 0.37)
     pq_m: int = 48                  # PQ packed bytes/doc when dtype="pq"
                                     # (2*pq_m nibble subspaces; dim must
                                     # divide by 2*pq_m)

@@ -214,8 +214,16 @@ class RetrievalEngine:
             and cfg.dense.int8_rescore
             and mode == "weighted"
         )
+        # int8 error is mild (4x recovers recall); PQ ADC distortion on
+        # clustered corpora needs 64x (measured recovery contract at 1M:
+        # EVAL_IVF_RECOVERY.json / BASELINE.md)
+        oversample = (
+            cfg.dense.pq_oversample
+            if cfg.dense.dtype == "pq"
+            else cfg.dense.int8_oversample
+        )
         k_dev = (
-            min(max(k * cfg.dense.int8_oversample, k), self.store.n_docs)
+            min(max(k * oversample, k), self.store.n_docs)
             if rescore
             else k
         )

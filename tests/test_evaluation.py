@@ -135,7 +135,7 @@ def test_evaluate_store_pq_mode():
     ]
     cfg = dataclasses.replace(
         CFG, dense=dataclasses.replace(
-            CFG.dense, pq_m=8, int8_oversample=8,
+            CFG.dense, pq_m=8, int8_oversample=8, pq_oversample=8,
         )
     )
     store = build_index(chunks, config=cfg)

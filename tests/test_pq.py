@@ -217,7 +217,8 @@ def _tiny_cfg(dtype="pq", oversample=4):
     )
 
     return RetrievalConfig(
-        dense=DenseConfig(dtype=dtype, pq_m=8, int8_oversample=oversample),
+        dense=DenseConfig(dtype=dtype, pq_m=8, int8_oversample=oversample,
+                          pq_oversample=oversample),
         encoder=EncoderConfig(
             vocab_size=4000, hidden=32, layers=2, heads=4,
             intermediate=64, max_len=64, encode_batch=16,
