@@ -625,7 +625,7 @@ def dense_topk_twophase_rm(
     interpret: bool = False,
     precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
     kernel_transpose: Optional[bool] = None,
-    sup: int = 128,
+    sup: int = 64,
     doc_scales: "Optional[jax.Array]" = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Row-major large-N exact top-k: the production dense backend at
@@ -654,9 +654,11 @@ def dense_topk_twophase_rm(
     gap between 46% end-to-end and 84% phase-1 HBM efficiency —
     VERDICT r3 item 4):
 
-    - ``kernel_transpose`` (default on; env
-      ``LEGAL_RAG_RM_NO_KERNEL_T=1`` reverts): phase 1 emits tiles
-      already QUERY-major, killing the 2x33 MB [n_segs, Q] transpose.
+    - ``kernel_transpose`` (default OFF by measurement — the r4
+      hardware sweep has it 0.2 ms slower at 1M; env
+      ``LEGAL_RAG_RM_KERNEL_T=1`` opts in): phase 1 emits tiles
+      already QUERY-major, killing the 2x33 MB [n_segs, Q] transpose —
+      but the in-tile transpose costs phase 1 more than that saves.
     - the candidate gather moves whole SEGMENTS (one contiguous
       ``seg_rows*D``-byte row of the freely-reshaped
       ``[N/seg_rows, seg_rows*D]`` view — 6 KB at sr=8/bf16) instead
@@ -689,8 +691,13 @@ def dense_topk_twophase_rm(
     if is_int8 and doc_scales is None:
         raise ValueError("int8 docs require doc_scales (per-segment)")
     if kernel_transpose is None:
+        # Default OFF by measurement: the r4 hardware sweep
+        # (scripts/exp_rm_sweep.py, 1M docs) has kt=1 at 2.047 ms vs
+        # kt=0 at 1.851 ms — the in-tile transpose costs phase 1 more
+        # than the [n_segs, Q] XLA transpose it saves. Opt back in
+        # with LEGAL_RAG_RM_KERNEL_T=1 (still Mosaic-probed).
         kernel_transpose = (
-            os.environ.get("LEGAL_RAG_RM_NO_KERNEL_T", "") != "1"
+            os.environ.get("LEGAL_RAG_RM_KERNEL_T", "") == "1"
             and _kernel_transpose_supported(docs.dtype)
         )
     qp = -(-q // block_q) * block_q
