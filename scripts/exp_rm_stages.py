@@ -79,7 +79,7 @@ def phase1(qq, dd):
     segs_per_block = BN // SR
     kernel = functools.partial(
         _segmax_rm_kernel, block_n=BN, seg_rows=SR,
-        precision=jax.lax.Precision.HIGHEST, transpose_out=False,
+        precision=jax.lax.Precision.DEFAULT, transpose_out=False,
     )
     return pl.pallas_call(
         kernel,
@@ -124,7 +124,7 @@ def stage_d(qq, dd):
     scores = jnp.einsum(
         "qd,qcd->qc", qq, gathered,
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=jax.lax.Precision.DEFAULT,
     )
     return scores.sum()
 
@@ -132,6 +132,7 @@ def stage_d(qq, dd):
 def stage_e(qq, dd):
     s, i = dense_topk_twophase_rm(
         qq, dd, K, block_n=BN, seg_rows=SR, sup=SUP,
+        precision=jax.lax.Precision.DEFAULT,
     )
     return s.sum() + i.sum().astype(jnp.float32)
 
