@@ -529,11 +529,13 @@ def _segmax_rm_kernel(
 
 # Per-shard doc count at which the row-major two-phase kernel becomes
 # the dense dispatch. Slope-measured on v5e vs XLA dot+top_k (batch 64,
-# bf16, k=10): XLA wins at 262k (0.80 vs 1.10 ms), rm wins at 524k
-# (1.57 vs 2.19) and 1M (2.13 vs 3.97) — interpolated crossover ~350k,
-# rounded up to a TWOPHASE_BLOCK_N multiple. Shards must be 8192-row
+# bf16, k=10; round-4 sweep-promoted constants kt=0/sup=64,
+# scripts/bench_scale.py): XLA wins at 196k (0.64 vs 0.81 ms), rm wins
+# at 262k (0.63 vs 0.86), 524k (1.15 vs 2.04) and 1M (1.75 vs 3.88) —
+# the crossover sits between, so the threshold is the first measured
+# rm-win point, a TWOPHASE_BLOCK_N multiple. Shards must be 8192-row
 # aligned for the no-copy path (from_embeddings aligns automatically).
-TWOPHASE_MIN_DOCS = 393216
+TWOPHASE_MIN_DOCS = 262144
 
 # Row-block alignment the row-major kernel wants so no in-jit pad copy
 # of the doc matrix happens (measured +2.3 ms/1M docs when it does).
