@@ -33,6 +33,10 @@ from legal_rag_tpu.models.encoder import SentenceEncoder
 from legal_rag_tpu.models.wordpiece import WordPieceTokenizer
 
 STEPS = int(os.environ.get("RR_STEPS", 4000))
+# paraphrase-aware recipe (sibling positives) — training a sibling CE
+# onto a COPY of a standard store gives a same-encoder A/B
+# (EVAL_CE_PARAPHRASE.json compares the two recipes per split)
+SIBLING = float(os.environ.get("RR_SIBLING", "0"))
 STORE = sys.argv[1] if len(sys.argv) > 1 else "/tmp/eval_sib_store"
 
 
@@ -60,6 +64,7 @@ def main():
     _train_validated_reranker(
         store, enc, texts, STEPS, config,
         log_fn=lambda m: print(f"[{time.time()-t0:6.0f}s] {m}", flush=True),
+        sibling_prob=SIBLING,
     )
     passed = store.ce_params is not None
     print(json.dumps({
