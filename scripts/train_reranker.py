@@ -60,6 +60,15 @@ def main():
     texts = [c["text"] for c in store.chunks]
     config = RetrievalConfig()
 
+    # RR_FRESH=1: drop a pre-existing checkpoint BEFORE training so the
+    # pass/fail signal below reflects THIS run's gate — on a copied
+    # store the old CE would otherwise survive a gate rejection and be
+    # re-persisted as if the new recipe had passed.
+    if os.environ.get("RR_FRESH", "0") == "1" and store.ce_params is not None:
+        store.ce_params = None
+        print("pre-existing cross-encoder checkpoint dropped (RR_FRESH=1)",
+              flush=True)
+
     t0 = time.time()
     _train_validated_reranker(
         store, enc, texts, STEPS, config,
