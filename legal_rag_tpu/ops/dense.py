@@ -318,6 +318,13 @@ _TIE_OVERSAMPLE = 64
 # to exercise the two-level branch on small corpora.
 _TWO_LEVEL_MIN_SEGS = 16384
 
+# Widest lax.top_k the member stage will issue in one call. XLA's TPU
+# top_k pays a width cliff above ~2048 (exp_member_topk.py: the flat
+# [Q, kk*sup=4736] member top_k alone costs ~0.3 ms at 1M docs, as much
+# as the rest of the select combined); wider inputs are split into
+# per-chunk top-kk calls below the cliff plus one cheap [Q, C*kk] merge.
+_MEMBER_TOPK_MAX_W = 2048
+
 
 def _select_segments(
     seg_m: jax.Array, kk: int, n_segs: int, sup: int = 128
@@ -358,12 +365,34 @@ def _select_segments(
             "qjs,qsl->qjl", onehot, s3,
             precision=jax.lax.Precision.HIGHEST,
         ).reshape(q, kk * sup)
-        member = (
-            sup_idx[:, :, None] * sup
-            + jax.lax.broadcasted_iota(jnp.int32, (q, kk, sup), 2)
-        ).reshape(q, kk * sup)
-        _, pos = jax.lax.top_k(vals, kk)
-        return jnp.take_along_axis(member, pos, axis=1)         # [Q, kk]
+        member_w = kk * sup
+        if member_w > _MEMBER_TOPK_MAX_W:
+            # chunked member select (round 4): per-chunk top-kk calls
+            # below the top_k width cliff, then one [Q, C*kk] merge.
+            # Exact up to boundary ties — the global top-kk is
+            # contained in the union of per-chunk top-kks, and ties
+            # displacing members across the boundary is the same
+            # >_TIE_OVERSAMPLE duplicate-score contract the flat
+            # select already has. Chunk width rounds up to a lane
+            # multiple; the tail pad is -inf so it never wins.
+            n_chunks = -(-member_w // _MEMBER_TOPK_MAX_W)
+            w_c = -(-member_w // n_chunks)          # ceil width/chunk
+            w_c = -(-w_c // 128) * 128              # lane multiple
+            pad = n_chunks * w_c - member_w
+            vals_p = jnp.pad(
+                vals, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+            v_c, p_c = jax.lax.top_k(
+                vals_p.reshape(q, n_chunks, w_c), kk)       # [Q, C, kk]
+            base = jnp.arange(n_chunks, dtype=jnp.int32) * w_c
+            flat_c = (p_c + base[None, :, None]).reshape(q, n_chunks * kk)
+            _, sel = jax.lax.top_k(v_c.reshape(q, n_chunks * kk), kk)
+            j = jnp.take_along_axis(flat_c, sel, axis=1)    # [Q, kk]
+        else:
+            _, j = jax.lax.top_k(vals, kk)
+        # member id from the flat position (pad indices can't be chosen:
+        # their value is -inf and member_w >= kk real entries exist)
+        sup_of = jnp.take_along_axis(sup_idx, j // sup, axis=1)
+        return sup_of * sup + (j % sup)                         # [Q, kk]
     _, seg_pos = jax.lax.top_k(seg_m, kk)
     return seg_pos
 

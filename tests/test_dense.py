@@ -329,6 +329,33 @@ def test_twophase_rm_two_level_select_matches_golden(monkeypatch):
     assert list(np.asarray(i)[0][:3]) == [500, 7000, 9100]
 
 
+@pytest.mark.parametrize("sup,kk", [(64, 74), (128, 74), (64, 33)])
+def test_select_segments_chunked_member_matches_flat(monkeypatch, sup, kk):
+    """The chunked member top_k (engaged when kk*sup exceeds
+    _MEMBER_TOPK_MAX_W, dodging XLA's top_k width cliff) selects the
+    same segment SET as a flat top_k over the full [Q, n_segs] scores.
+    Order within the set may differ only across exact ties, which the
+    rescore's two-key ordering absorbs — distinct scores here, so the
+    sets must match exactly."""
+    import legal_rag_tpu.ops.dense as dense_mod
+
+    import jax
+
+    monkeypatch.setattr(dense_mod, "_TWO_LEVEL_MIN_SEGS", 1)
+    rng = np.random.default_rng(sup + kk)
+    n_segs = 9600
+    # distinct scores: a random permutation scaled to floats
+    seg_m = rng.permutation(n_segs * 4)[: 4 * n_segs].astype(np.float32)
+    seg_m = seg_m.reshape(4, n_segs) / n_segs
+    assert kk * sup > dense_mod._MEMBER_TOPK_MAX_W
+    pos = dense_mod._select_segments(
+        jnp.asarray(seg_m), kk, n_segs, sup=sup)
+    _, flat = jax.lax.top_k(jnp.asarray(seg_m), kk)
+    for r in range(4):
+        assert set(np.asarray(pos)[r].tolist()) == \
+            set(np.asarray(flat)[r].tolist())
+
+
 def test_twophase_rm_fuzz_configs():
     """Randomized (n, k, seg_rows, block sizes, n_valid) sweep — the
     production large-N kernel must match the stable float64 golden
