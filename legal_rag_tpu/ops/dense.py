@@ -366,7 +366,12 @@ def _select_segments(
             precision=jax.lax.Precision.HIGHEST,
         ).reshape(q, kk * sup)
         member_w = kk * sup
-        if member_w > _MEMBER_TOPK_MAX_W:
+        # chunking needs kk to fit WELL inside a chunk: per-chunk
+        # top-kk with kk approaching the chunk width degenerates into
+        # a full sort per chunk (and kk > w_c is a trace error — the
+        # PQ tier's oversampled kk can reach 2k+). Those shapes keep
+        # the flat top_k below.
+        if member_w > _MEMBER_TOPK_MAX_W and kk <= _MEMBER_TOPK_MAX_W // 2:
             # chunked member select (round 4): per-chunk top-kk calls
             # below the top_k width cliff, then one [Q, C*kk] merge.
             # Exact up to boundary ties — the global top-kk is

@@ -227,6 +227,33 @@ def minilm_token_embeddings(params, input_ids, attention_mask, cfg):
     return hidden / jnp.maximum(norms, 1e-12)
 
 
+def minilm_token_and_pooled(
+    params, input_ids, attention_mask, cfg,
+    precision=None,
+):
+    """One transformer forward, two views: the L2-normalized per-token
+    states (late-interaction half) AND the L2-normalized masked-mean
+    pooled sentence embedding (single-vector half). Serving's
+    maxsim-rerank needs both per query batch and must not pay two
+    encoder passes (the same shared-forward pattern as the token
+    co-training loss, models/train.py _encode_with_tokens).
+    ``precision=None`` keeps minilm_hidden_states' HIGHEST default
+    (parity with SentenceEncoder.encode's float32 path)."""
+    from legal_rag_tpu.models.minilm import minilm_hidden_states
+
+    kw = {} if precision is None else {"precision": precision}
+    hidden = minilm_hidden_states(params, input_ids, attention_mask, cfg, **kw)
+    m = attention_mask.astype(jnp.float32)[:, :, None]
+    pooled = jnp.sum(hidden * m, axis=1) / jnp.maximum(
+        jnp.sum(m, axis=1), 1e-9)
+    pn = jnp.sqrt(jnp.sum(pooled * pooled, axis=-1, keepdims=True))
+    tn = jnp.sqrt(jnp.sum(hidden * hidden, axis=-1, keepdims=True))
+    return (
+        hidden / jnp.maximum(tn, 1e-12),
+        pooled / jnp.maximum(pn, 1e-12),
+    )
+
+
 class MultiVectorSearcher:
     """Text-in, results-out late-interaction search over an encoder.
 

@@ -85,7 +85,6 @@ _OFFENCE_FORMS = {
     "threw acid": "acid attack",
     "corrosive liquid": "acid attack",
     "corrosive substance": "acid attack",
-    "ransom": "kidnapping",
     "lured away": "kidnapping",
     "demanding dowry": "dowry",
     "dowry demand": "dowry",
@@ -93,6 +92,13 @@ _OFFENCE_FORMS = {
     "defrauded": "cheating",
     "blackmail": "extortion",
     "blackmailed": "extortion",
+}
+
+# single-word forms that need WORD boundaries: plain substring matching
+# (right for the stemmed/multi-word forms above) false-fires here —
+# "ransom" is a prefix of "ransomware", a different offence domain
+_OFFENCE_FORMS_WORD = {
+    "ransom": "kidnapping",
 }
 _LAWS = ("BNS", "BNSS", "BSA", "NALSA", "IPC", "CRPC")
 
@@ -132,6 +138,9 @@ def classify_heuristic(query: str) -> QueryIntent:
             entities.append(off)
     for form, off in _OFFENCE_FORMS.items():
         if form in q and off not in entities:
+            entities.append(off)
+    for form, off in _OFFENCE_FORMS_WORD.items():
+        if re.search(rf"\b{form}\b", q) and off not in entities:
             entities.append(off)
     for sec in re.findall(r"section\s+(\d+[a-z]?)", q):
         entities.append(f"Section {sec}")

@@ -245,12 +245,11 @@ class RetrievalEngine:
             # reads — the capacity-safe default for big corpora).
             mv = self.mv_index     # raises early when artifacts absent
             with self.timer.stage("encode"):
-                q_tok, q_mask = self._encode_query_tokens(queries)
+                q_tok, q_mask, q_emb = self._encode_query_tokens(queries)
             with self.timer.stage("device_search"):
                 if mode == "maxsim":
                     s, i = mv.search(q_tok, q_mask, k)
                 else:
-                    q_emb = self.encoder.encode(queries)
                     s, i = mv.rerank_search(
                         self.index, jnp.asarray(q_emb), q_tok, q_mask,
                         k, c=max(cfg.fusion.candidate_multiplier * k, k),
@@ -366,20 +365,34 @@ class RetrievalEngine:
                 ShardedMultiVectorIndex,
             )
 
+            # match the dense tier's row padding so maxsim-rerank's
+            # shard-local candidate rescore sees every candidate's
+            # tokens on its own shard — but ONLY for the float tiers
+            # rerank_search accepts: a quantized tier's `docs` is the
+            # code matrix (IVF stores are even cell-reordered, with
+            # nc_pad*cell_size rows), and padding the 24 KB/doc slab to
+            # the cell-slot count would inflate it by the clusters'
+            # slack for a mode that tier can't serve anyway
+            n_pad = None
+            if self.index.docs.dtype in (jnp.float32, jnp.bfloat16):
+                n_pad = int(self.index.docs.shape[0])
             mv = ShardedMultiVectorIndex.from_arrays(
                 self.store.mv_tokens, self.store.mv_mask, self.mesh,
-                # match the dense tier's row padding so maxsim-rerank's
-                # shard-local candidate rescore sees every candidate's
-                # tokens on its own shard
-                n_pad=int(self.index.docs.shape[0]),
+                n_pad=n_pad,
             )
             self._mv_index = mv
         return mv
 
     def _encode_query_tokens(self, queries: Sequence[str]):
         """Query-side token embeddings (same encoder, same budget as
-        the stored slab)."""
-        from legal_rag_tpu.ops.maxsim import minilm_token_embeddings
+        the stored slab) PLUS the pooled sentence embedding from the
+        SAME forward — maxsim-rerank's dense candidate stage must not
+        pay a second transformer pass over the batch. The pooled view
+        is mean-pooled over the Td-truncated tokens, so for queries
+        longer than the slab budget it deviates (slightly) from
+        SentenceEncoder.encode's full-length embedding; queries are
+        far shorter than Td=32 in practice."""
+        from legal_rag_tpu.ops.maxsim import minilm_token_and_pooled
 
         td = int(self.store.mv_tokens.shape[1])
         tokenizer = getattr(self.encoder, "_fast_tokenizer", None) or (
@@ -388,11 +401,17 @@ class RetrievalEngine:
         ids, am = tokenizer.encode_batch(
             list(queries), max_len=min(self.encoder.cfg.max_len, td)
         )
-        q_tok = minilm_token_embeddings(
-            self.encoder.params, jnp.asarray(ids), jnp.asarray(am),
-            self.encoder.cfg,
+        # match SentenceEncoder.encode's precision policy
+        precision = (
+            jax.lax.Precision.DEFAULT
+            if self.encoder.cfg.dtype == "bfloat16"
+            else jax.lax.Precision.HIGHEST
         )
-        return q_tok, np.asarray(am)
+        q_tok, q_emb = minilm_token_and_pooled(
+            self.encoder.params, jnp.asarray(ids), jnp.asarray(am),
+            self.encoder.cfg, precision=precision,
+        )
+        return q_tok, np.asarray(am), q_emb
 
     # -- reference-compatible API --------------------------------------------
 

@@ -109,10 +109,10 @@ def main():
     log(f"xla dot+top_k: {dt*1e3:8.3f} ms  ({gb/dt:5.0f} GB/s)  "
         f"compile {tc:.1f}s")
 
-    # kt=True is the round-4 in-kernel-transpose phase-2 (the default);
-    # every config retries kt=False on failure so a Mosaic rejection of
-    # the transposed output tile still yields sweep data AND tells us
-    # to flip the production default (LEGAL_RAG_RM_NO_KERNEL_T).
+    # kt=True measures the in-kernel-transpose phase-2 variant. The
+    # sweep found it a wash, so production ships kt=False (opt-in via
+    # LEGAL_RAG_RM_KERNEL_T=1, ops/dense.py); every config retries
+    # kt=False on a Mosaic rejection so the sweep still yields data.
     for bn, sr in CONFIGS:
         # the shipped default measures BOTH variants (quantifies the
         # in-kernel-transpose win); other configs run kt=True and only

@@ -356,6 +356,24 @@ def test_select_segments_chunked_member_matches_flat(monkeypatch, sup, kk):
             set(np.asarray(flat)[r].tolist())
 
 
+def test_select_segments_huge_kk_traces():
+    """The PQ capacity tier's oversampled kk can exceed the member
+    chunk width (k=16 * oversample 64 + ties = 2064); such shapes must
+    keep the flat member top_k — chunking with kk > chunk width is a
+    trace-time ValueError. eval_shape traces without computing."""
+    import jax
+
+    import legal_rag_tpu.ops.dense as dense_mod
+
+    kk, sup = 2064, 128
+    n_segs = 266240                       # n_segs // sup = 2080 >= kk
+    out = jax.eval_shape(
+        lambda m: dense_mod._select_segments(m, kk, n_segs, sup=sup),
+        jax.ShapeDtypeStruct((1, n_segs), jnp.float32),
+    )
+    assert out.shape == (1, kk)
+
+
 def test_twophase_rm_fuzz_configs():
     """Randomized (n, k, seg_rows, block sizes, n_valid) sweep — the
     production large-N kernel must match the stable float64 golden

@@ -36,6 +36,12 @@ from legal_rag_tpu.retrieval.facade import LegalEngine
      "victim_distress"),
     ("How many hours can police hold someone before a judge sees them?",
      "general_explanation", "informational"),
+    # "ransom" is word-bounded: it must fire on the kidnapping form but
+    # NOT on "ransomware" (an unrelated cyber-offence domain)
+    ("They are holding my brother and demanding a ransom",
+     "procedure", "victim_distress"),
+    ("My office computer was hit by ransomware, how do I report it?",
+     "procedure", "informational"),
 ])
 def test_heuristic_classifier(query, category, context):
     intent = classify_heuristic(query)
