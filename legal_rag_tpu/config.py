@@ -77,10 +77,12 @@ class FusionConfig:
     # CE blend for short heading-register queries (the reranker's
     # training distribution; models/cross_encoder.py ce_policy_alpha).
     # None disables the form policy — every query uses the store's
-    # gate-fit ce_alpha. Enable only with a measured policy row in
-    # EVAL_CE_PARAPHRASE.json (splits gain on structure, no paraphrase
-    # regression).
-    ce_heading_alpha: "float | None" = None
+    # gate-fit ce_alpha. 0.5 is the measured policy row from
+    # EVAL_CE_PARAPHRASE.json (TPU serving store, n=1000/split):
+    # structure MRR +0.0412 [CI +0.0297, +0.0531] at heading_rate 0.59,
+    # paraphrase untouched (heading_rate 0.00 — no 12-word span query
+    # is heading-like, so those keep the conservative gate-fit alpha).
+    ce_heading_alpha: "float | None" = 0.5
 
 
 @dataclasses.dataclass(frozen=True)

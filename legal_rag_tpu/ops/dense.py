@@ -564,12 +564,17 @@ def _segmax_rm_kernel(
 # Per-shard doc count at which the row-major two-phase kernel becomes
 # the dense dispatch. Slope-measured on v5e vs XLA dot+top_k (batch 64,
 # bf16, k=10; round-4 sweep-promoted constants kt=0/sup=64,
-# scripts/bench_scale.py): XLA wins at 196k (0.64 vs 0.81 ms), rm wins
-# at 262k (0.63 vs 0.86), 524k (1.15 vs 2.04) and 1M (1.75 vs 3.88) —
-# the crossover sits between, so the threshold is the first measured
-# rm-win point, a TWOPHASE_BLOCK_N multiple. Shards must be 8192-row
-# aligned for the no-copy path (from_embeddings aligns automatically).
-TWOPHASE_MIN_DOCS = 262144
+# scripts/bench_scale.py). With the flat member top_k the first
+# measured rm-win point was 262k (XLA still won 196k: 0.64 vs
+# 0.81 ms); the CHUNKED member select (round 4, _MEMBER_TOPK_MAX_W)
+# moved it down a block: rm wins 196,608 (0.97 vs 1.23 ms), ties 262k
+# (1.10 vs 1.11), wins 524k (1.34 vs 1.96) and 1M (2.03 vs 3.93 —
+# same-run; the two sweeps' absolute times differ by relay state, the
+# within-run comparisons are what the dispatch rides on). Threshold =
+# first measured rm-win point, a TWOPHASE_BLOCK_N multiple. Shards
+# must be 8192-row aligned for the no-copy path (from_embeddings
+# aligns automatically).
+TWOPHASE_MIN_DOCS = 196608
 
 # Row-block alignment the row-major kernel wants so no in-jit pad copy
 # of the doc matrix happens (measured +2.3 ms/1M docs when it does).
