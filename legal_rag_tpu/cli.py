@@ -371,9 +371,10 @@ def main(argv=None) -> int:
         "--rerank-sibling-prob", type=float, default=0.0,
         dest="rerank_sibling_prob", metavar="P",
         help="probability a CE training group's positive is a SIBLING "
-             "chunk of the span's section (paraphrase-aware recipe, "
-             "round 4 — see EVAL_CE_PARAPHRASE.json for why); 0 keeps "
-             "the span/title recipe",
+             "chunk of the span's section (paraphrase-aware candidate "
+             "recipe — measured at P=0.5/12k steps it FAILS the "
+             "held-out gate, see EVAL_CE_SIBLING_GATE.json); 0 (the "
+             "serving default) keeps the span/title recipe",
     )
     p.add_argument(
         "--multi-vector", type=int, default=0, metavar="TOKEN_BUDGET",
