@@ -106,31 +106,50 @@ def main():
     slab_gb = N * TD * D * 2 / 1e9
     dense_gb = N * D * 2 / 1e9
 
-    def full_one(i, qt, qm):
-        qq = qt * (1.0 + i.astype(jnp.float32) * 1e-30).astype(qt.dtype)
-        return midx.search(qq, qm, K, block_n=2048)
+    # Pass the slab/matrix through jit ARGUMENTS, never closures: a
+    # closure-captured device array is lifted into the lowering as a
+    # CONSTANT (3.2 GB at N=131072 — the captured-constants warning),
+    # which multiplies compile time through the relay and wedged the
+    # first attempt at this benchmark.
+    from legal_rag_tpu.parallel.sharded import (
+        sharded_maxsim_rerank_topk, sharded_maxsim_topk,
+    )
 
-    dt, tc = slope(full_one, qt, qm)
+    def full_one(i, dtok, dmask, qt, qm):
+        qq = qt * (1.0 + i.astype(jnp.float32) * 1e-30).astype(qt.dtype)
+        return sharded_maxsim_topk(
+            dtok, dmask, qq, qm, mesh=midx.mesh,
+            k=min(K, midx.n_docs), n_docs=midx.n_docs, block_n=2048,
+        )
+
+    dt, tc = slope(full_one, midx.doc_tokens, midx.doc_mask, qt, qm)
     log(f"full-scan maxsim : {dt*1e3:8.2f} ms/batch-{Q}  "
         f"({slab_gb/dt:5.0f} GB/s slab, {slab_gb/dt/819*100:4.1f}% peak)  "
         f"compile {tc:.0f}s")
 
-    def rerank_one(i, q_emb, qt, qm):
+    def rerank_one(i, docs, dtok, dmask, q_emb, qt, qm):
         qq = qt * (1.0 + i.astype(jnp.float32) * 1e-30).astype(qt.dtype)
-        return midx.rerank_search(sidx, q_emb, qq, qm, K, c=C)
+        return sharded_maxsim_rerank_topk(
+            docs, dtok, dmask,
+            jnp.asarray(q_emb, docs.dtype), qq, qm, mesh=midx.mesh,
+            k=min(K, midx.n_docs), c=C, n_docs=midx.n_docs,
+        )
 
-    dt2, tc2 = slope(rerank_one, q_emb, qt, qm)
+    dt2, tc2 = slope(
+        rerank_one, sidx.docs, midx.doc_tokens, midx.doc_mask,
+        q_emb, qt, qm,
+    )
     log(f"dense-first rerank: {dt2*1e3:8.2f} ms/batch-{Q}  "
         f"(dense sweep {dense_gb:.2f} GB + {Q*C*TD*D*2/1e6:.0f} MB "
         f"candidate slab)  compile {tc2:.0f}s")
 
     # agreement: how often does the bounded tier reproduce the exact
     # full-scan top-1/top-10 on this synthetic corpus
-    s_f, i_f = jax.jit(lambda a, b: midx.search(a, b, K, block_n=2048))(
-        qt, qm)
-    s_r, i_r = jax.jit(
-        lambda a, b, c: midx.rerank_search(sidx, a, b, c, K, c=C)
-    )(q_emb, qt, qm)
+    zero = jnp.int32(0)
+    s_f, i_f = jax.jit(full_one)(zero, midx.doc_tokens, midx.doc_mask,
+                                 qt, qm)
+    s_r, i_r = jax.jit(rerank_one)(zero, sidx.docs, midx.doc_tokens,
+                                   midx.doc_mask, q_emb, qt, qm)
     i_f, i_r = np.asarray(i_f), np.asarray(i_r)
     top1 = float(np.mean(i_f[:, 0] == i_r[:, 0]))
     ov = float(np.mean([
