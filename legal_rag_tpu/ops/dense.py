@@ -318,12 +318,14 @@ _TIE_OVERSAMPLE = 64
 # to exercise the two-level branch on small corpora.
 _TWO_LEVEL_MIN_SEGS = 16384
 
-# Widest lax.top_k the member stage will issue in one call. XLA's TPU
-# top_k pays a width cliff above ~2048 (exp_member_topk.py: the flat
-# [Q, kk*sup=4736] member top_k alone costs ~0.3 ms at 1M docs, as much
-# as the rest of the select combined); wider inputs are split into
-# per-chunk top-kk calls below the cliff plus one cheap [Q, C*kk] merge.
-_MEMBER_TOPK_MAX_W = 2048
+# NOTE on a tried-and-reverted idea (late round 4): splitting the
+# member top_k into <=2048-wide chunks (per-chunk top-kk + merge) to
+# dodge a suspected XLA top_k "width cliff" was A/B-measured SLOWER on
+# the real select input at both 262k and 1M docs (+0.10-0.13 ms;
+# select-only idle-chip A/B, recorded in BASELINE.md): top_k work is
+# O(k*width) with or without chunking, so chunking only adds dispatch
+# and merge overhead. The flat member top_k below is the measured
+# optimum; exp_member_topk's "+0.3 ms" is simply that real cost.
 
 
 def _select_segments(
@@ -365,37 +367,9 @@ def _select_segments(
             "qjs,qsl->qjl", onehot, s3,
             precision=jax.lax.Precision.HIGHEST,
         ).reshape(q, kk * sup)
-        member_w = kk * sup
-        # chunking needs kk to fit WELL inside a chunk: per-chunk
-        # top-kk with kk approaching the chunk width degenerates into
-        # a full sort per chunk (and kk > w_c is a trace error — the
-        # PQ tier's oversampled kk can reach 2k+). Those shapes keep
-        # the flat top_k below.
-        if member_w > _MEMBER_TOPK_MAX_W and kk <= _MEMBER_TOPK_MAX_W // 2:
-            # chunked member select (round 4): per-chunk top-kk calls
-            # below the top_k width cliff, then one [Q, C*kk] merge.
-            # Exact up to boundary ties — the global top-kk is
-            # contained in the union of per-chunk top-kks, and ties
-            # displacing members across the boundary is the same
-            # >_TIE_OVERSAMPLE duplicate-score contract the flat
-            # select already has. Chunk width rounds up to a lane
-            # multiple; the tail pad is -inf so it never wins.
-            n_chunks = -(-member_w // _MEMBER_TOPK_MAX_W)
-            w_c = -(-member_w // n_chunks)          # ceil width/chunk
-            w_c = -(-w_c // 128) * 128              # lane multiple
-            pad = n_chunks * w_c - member_w
-            vals_p = jnp.pad(
-                vals, ((0, 0), (0, pad)), constant_values=-jnp.inf)
-            v_c, p_c = jax.lax.top_k(
-                vals_p.reshape(q, n_chunks, w_c), kk)       # [Q, C, kk]
-            base = jnp.arange(n_chunks, dtype=jnp.int32) * w_c
-            flat_c = (p_c + base[None, :, None]).reshape(q, n_chunks * kk)
-            _, sel = jax.lax.top_k(v_c.reshape(q, n_chunks * kk), kk)
-            j = jnp.take_along_axis(flat_c, sel, axis=1)    # [Q, kk]
-        else:
-            _, j = jax.lax.top_k(vals, kk)
-        # member id from the flat position (pad indices can't be chosen:
-        # their value is -inf and member_w >= kk real entries exist)
+        _, j = jax.lax.top_k(vals, kk)
+        # member id derived from the flat position — no [Q, kk*sup]
+        # member-id matrix to materialize
         sup_of = jnp.take_along_axis(sup_idx, j // sup, axis=1)
         return sup_of * sup + (j % sup)                         # [Q, kk]
     _, seg_pos = jax.lax.top_k(seg_m, kk)
@@ -564,17 +538,18 @@ def _segmax_rm_kernel(
 # Per-shard doc count at which the row-major two-phase kernel becomes
 # the dense dispatch. Slope-measured on v5e vs XLA dot+top_k (batch 64,
 # bf16, k=10; round-4 sweep-promoted constants kt=0/sup=64,
-# scripts/bench_scale.py). With the flat member top_k the first
-# measured rm-win point was 262k (XLA still won 196k: 0.64 vs
-# 0.81 ms); the CHUNKED member select (round 4, _MEMBER_TOPK_MAX_W)
-# moved it down a block: rm wins 196,608 (0.97 vs 1.23 ms), ties 262k
-# (1.10 vs 1.11), wins 524k (1.34 vs 1.96) and 1M (2.03 vs 3.93 —
-# same-run; the two sweeps' absolute times differ by relay state, the
-# within-run comparisons are what the dispatch rides on). Threshold =
-# first measured rm-win point, a TWOPHASE_BLOCK_N multiple. Shards
-# must be 8192-row aligned for the no-copy path (from_embeddings
-# aligns automatically).
-TWOPHASE_MIN_DOCS = 196608
+# scripts/bench_scale.py). An IDLE-chip sweep is required — a
+# contended sweep (round 4 briefly promoted 196608 from one) flattered
+# the kernel because interleaved foreign programs hurt XLA's timed
+# loops more. Idle-chip evidence (two independent late-round-4 runs):
+# XLA wins consistently at <=262,144 (0.81 vs 0.89; 0.89 vs 0.98 ms),
+# 327,680 splits across runs (XLA 1.03 vs 1.08; rm 0.84 vs 1.30), and
+# rm wins consistently from 393,216 up (0.52-1.18 vs 1.03-1.31 there;
+# 1.25-1.34 vs 1.96-2.03 at 524k; 1.75-2.03 vs 3.88-3.93 at 1M).
+# Threshold = first CONSISTENT rm-win point, a TWOPHASE_BLOCK_N
+# multiple. Shards must be 8192-row aligned for the no-copy path
+# (from_embeddings aligns automatically).
+TWOPHASE_MIN_DOCS = 393216
 
 # Row-block alignment the row-major kernel wants so no in-jit pad copy
 # of the doc matrix happens (measured +2.3 ms/1M docs when it does).

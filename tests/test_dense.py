@@ -330,10 +330,9 @@ def test_twophase_rm_two_level_select_matches_golden(monkeypatch):
 
 
 @pytest.mark.parametrize("sup,kk", [(64, 74), (128, 74), (64, 33)])
-def test_select_segments_chunked_member_matches_flat(monkeypatch, sup, kk):
-    """The chunked member top_k (engaged when kk*sup exceeds
-    _MEMBER_TOPK_MAX_W, dodging XLA's top_k width cliff) selects the
-    same segment SET as a flat top_k over the full [Q, n_segs] scores.
+def test_select_segments_two_level_matches_flat(monkeypatch, sup, kk):
+    """The two-level select picks the same segment SET as a flat
+    top_k over the full [Q, n_segs] scores, across sup/kk shapes.
     Order within the set may differ only across exact ties, which the
     rescore's two-key ordering absorbs — distinct scores here, so the
     sets must match exactly."""
@@ -347,7 +346,6 @@ def test_select_segments_chunked_member_matches_flat(monkeypatch, sup, kk):
     # distinct scores: a random permutation scaled to floats
     seg_m = rng.permutation(n_segs * 4)[: 4 * n_segs].astype(np.float32)
     seg_m = seg_m.reshape(4, n_segs) / n_segs
-    assert kk * sup > dense_mod._MEMBER_TOPK_MAX_W
     pos = dense_mod._select_segments(
         jnp.asarray(seg_m), kk, n_segs, sup=sup)
     _, flat = jax.lax.top_k(jnp.asarray(seg_m), kk)
@@ -357,10 +355,11 @@ def test_select_segments_chunked_member_matches_flat(monkeypatch, sup, kk):
 
 
 def test_select_segments_huge_kk_traces():
-    """The PQ capacity tier's oversampled kk can exceed the member
-    chunk width (k=16 * oversample 64 + ties = 2064); such shapes must
-    keep the flat member top_k — chunking with kk > chunk width is a
-    trace-time ValueError. eval_shape traces without computing."""
+    """The PQ capacity tier's oversampled kk can reach 2k+ (k=16 *
+    oversample 64 + ties = 2064); the select must trace at such shapes
+    (a chunked-member variant once made this a trace-time ValueError —
+    reverted as measured-slower, kept as a regression guard).
+    eval_shape traces without computing."""
     import jax
 
     import legal_rag_tpu.ops.dense as dense_mod
