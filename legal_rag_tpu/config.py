@@ -40,7 +40,15 @@ class DenseConfig:
     ivf_probes: int = 64            # cells scanned per shard when the
                                     # store carries IVF artifacts
                                     # (build --ivf-cell-size); an o(N)
-                                    # read instead of the flat scan
+                                    # read instead of the flat scan.
+                                    # Measured recovery contract at 1M
+                                    # clustered docs (EVAL_IVF_RECOVERY
+                                    # .json): probes=512 with
+                                    # pq_oversample=64 holds
+                                    # post-rescore recall@10 >= 0.95;
+                                    # the 64-probe default suits small/
+                                    # well-separated corpora — raise to
+                                    # 512 at 1M+ clustered scale
     use_ivf: bool = True            # permit IVF pruning when artifacts
                                     # exist (False = flat PQ scan)
 
@@ -67,9 +75,18 @@ class FusionConfig:
     """Hybrid fusion. `weighted` mode reproduces the reference semantics
     exactly (dense candidates only, score = sem*(1-w) + bm25n*w,
     reference retrieval_engine.py:71-96). `rrf` is the framework-native
-    mode fusing both candidate lists by reciprocal rank."""
+    mode fusing both candidate lists by reciprocal rank.
 
-    mode: str = "weighted"          # weighted | rrf
+    Default is `rrf` by measurement (EVAL_RETRIEVAL.json, serving
+    store, n=1000/split bootstrap): RRF beats weighted on BOTH splits
+    — structure r@10 0.975 vs 0.957, paraphrase 0.659 vs 0.636 — and
+    the retrieval gate (EVAL_GATE.json) and E2E quality harness
+    (quality_report.json) certify the RRF configuration. `weighted`
+    remains available as the reference-parity mode; the single-query
+    ``RetrievalEngine.search()`` compatibility wrapper always pins it.
+    """
+
+    mode: str = "rrf"               # rrf (measured default) | weighted
     hybrid_weight: float = 0.5
     procedural_weight: float = 0.6  # reference orchestrator.py:56
     rrf_k: int = 60

@@ -135,8 +135,10 @@ def test_engine_int8_rescore_matches_fp32(tmp_path):
     e32 = RetrievalEngine(store, config=cfg32)
     e8 = RetrievalEngine(store, config=cfg8)
     queries = ["word3 law2", "clause4 word11", "law5 word20 clause0"]
-    r32 = e32.search_batch(queries, k=5)
-    r8 = e8.search_batch(queries, k=5)
+    # rescore is a weighted-mode feature (RRF is rank-based over both
+    # lists); pin the mode — the engine default is rrf by measurement
+    r32 = e32.search_batch(queries, k=5, mode="weighted")
+    r8 = e8.search_batch(queries, k=5, mode="weighted")
     for a, b in zip(r32, r8):
         assert [x.doc_id for x in a] == [x.doc_id for x in b]
         assert [x.semantic for x in a] == pytest.approx(

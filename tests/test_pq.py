@@ -282,9 +282,11 @@ def test_engine_pq_mode_matches_fp32(pq_store):
     eng_fp = RetrievalEngine(loaded, config=_tiny_cfg("float32"))
 
     queries = ["the police fir", "w1 w2 w3", "w5 police", "w100 the"]
-    res_full = eng_full.search_batch(queries, k=5)
-    res_pq = eng_pq.search_batch(queries, k=5)
-    res_fp = eng_fp.search_batch(queries, k=5)
+    # the exactness-recovery contract is a weighted-mode feature (RRF
+    # is rank-based); pin the mode — the engine default is rrf
+    res_full = eng_full.search_batch(queries, k=5, mode="weighted")
+    res_pq = eng_pq.search_batch(queries, k=5, mode="weighted")
+    res_fp = eng_fp.search_batch(queries, k=5, mode="weighted")
 
     agree = 0
     for rfull, rp, rf in zip(res_full, res_pq, res_fp):
