@@ -114,3 +114,102 @@ def test_default_llm_client_none_without_key(monkeypatch):
     monkeypatch.delenv("GEMINI_API_KEY", raising=False)
     monkeypatch.delenv("GOOGLE_API_KEY", raising=False)
     assert default_llm_client() is None
+
+
+# ---------------------------------------------------------------------------
+# Transcript fixtures (VERDICT r4 item 7): captured-shape payloads for the
+# two real prompt shapes (classifier intent JSON, responder 8-field JSON),
+# one set per model family — gemma-* (conversational text around a ```json
+# fence; the prompt appends "Return ONLY valid JSON") and gemini-* JSON mode
+# (bare JSON document, no fence, may carry \uXXXX escapes and nulls). The
+# payload shapes are hand-verified against the google-genai SDK contract the
+# reference drives (reference classifier.py:79-100, responder.py:83-130).
+# ---------------------------------------------------------------------------
+
+import json as _json
+import os as _os
+
+_FIXTURES = _json.load(open(
+    _os.path.join(_os.path.dirname(__file__), "fixtures",
+                  "llm_transcripts.json")))
+
+
+@pytest.mark.parametrize(
+    "case", _FIXTURES["classifier"], ids=lambda c: c["name"])
+def test_generate_json_classifier_transcripts(fake_genai, case):
+    """generate_json parses every captured classifier payload, and the
+    QueryClassifier accepts the parsed intent without heuristic fallback."""
+    from legal_rag_tpu.retrieval.llm import GeminiClient
+
+    model = ("gemma-3-4b-it" if case["model_kind"] == "gemma"
+             else "gemini-2.5-flash-lite")
+    fake_genai["models"] = _FakeModels({model: case["raw"]})
+    client = GeminiClient(model_ids=[model])
+    parsed = client.generate_json("classify: where do I file a zero FIR?")
+    assert parsed == case["expected"]
+
+    from legal_rag_tpu.retrieval.classifier import QueryClassifier
+
+    class _Canned:
+        def generate_json(self, prompt, system=None):
+            return parsed
+
+    intent = QueryClassifier(llm=_Canned()).classify("any query")
+    assert intent.category == case["expected"]["category"]
+    assert intent.user_context == case["expected"]["user_context"]
+    assert intent.key_entities == case["expected"]["key_entities"]
+
+
+@pytest.mark.parametrize(
+    "case", _FIXTURES["responder"], ids=lambda c: c["name"])
+def test_generate_json_responder_transcripts(fake_genai, case):
+    """generate_json parses the captured responder payloads and the
+    LegalResponder materializes the 8-field contract from them (nulls
+    coerced, disclaimer defaulted, lists stringified)."""
+    from legal_rag_tpu.retrieval.llm import GeminiClient
+
+    model = ("gemma-3-4b-it" if case["model_kind"] == "gemma"
+             else "gemini-2.5-flash-lite")
+    fake_genai["models"] = _FakeModels({model: case["raw"]})
+    client = GeminiClient(model_ids=[model])
+    parsed = client.generate_json("respond with fields")
+
+    from legal_rag_tpu.retrieval.responder import DISCLAIMER, LegalResponder
+
+    class _Canned:
+        def generate_json(self, prompt, system=None):
+            return parsed
+
+    resp = LegalResponder(llm=_Canned()).generate_response(
+        "where do I file a zero FIR?",
+        context=[],
+        intent={"category": "procedure", "key_entities": [],
+                "user_context": "victim_distress"},
+    )
+    exp = case["expected_fields"]
+    assert resp.answer == exp["answer"]
+    assert resp.legal_basis == exp["legal_basis"]
+    assert resp.safety_alert == exp["safety_alert"]
+    assert resp.immediate_action_plan == exp["immediate_action_plan"]
+    assert resp.procedure_steps == exp["procedure_steps"]
+    assert resp.important_notes == exp["important_notes"]
+    # null/missing disclaimer always falls back to the canonical one
+    assert resp.disclaimer
+    if case["name"] == "gemini_json_mode_nulls_and_unicode":
+        assert resp.disclaimer == DISCLAIMER
+
+
+def test_reference_fence_cleaner_bug_not_reproduced():
+    """The reference's own cleaner (classifier.py:84-90) does
+    split("```")[-1] — the segment AFTER the closing fence — so a
+    well-formed '```json ... ```' payload parses to the empty string
+    there. Pin that our strip_json_fences extracts the fenced body."""
+    from legal_rag_tpu.retrieval.llm import strip_json_fences
+
+    raw = _FIXTURES["classifier"][1]["raw"]   # gemma_wellformed_fence_only
+    assert raw.startswith("```json") and raw.rstrip().endswith("```")
+    # the reference's cleaner on this payload:
+    assert raw.split("```")[-1].strip() == ""
+    # ours:
+    assert _json.loads(strip_json_fences(raw)) == \
+        _FIXTURES["classifier"][1]["expected"]

@@ -740,3 +740,22 @@ def test_ivf_q_valid_excludes_padded_queries_from_probe_vote():
     # queries lose their own cells (the bug the mask fixes)
     s_u, i_u = _pq_ivf_topk_impl(*args, k, probes, 16, True)
     assert not np.array_equal(np.asarray(i_u)[:2], np.asarray(fi))
+
+
+def test_ivf_recovery_contract_defaults_pinned():
+    """The measured 1M-clustered recovery contract
+    (EVAL_IVF_RECOVERY.json: oversample 64 + probes 512 => post-rescore
+    recall@10 >= 0.95) is encoded in defaults + docs: pq_oversample
+    defaults to the contract value, and the DenseConfig source steers
+    operators to the 512-probe pairing at clustered 1M+ scale."""
+    import inspect
+
+    from legal_rag_tpu.config import DenseConfig
+
+    cfg = DenseConfig()
+    assert cfg.pq_oversample == 64
+    # ivf_probes defaults low for small/well-separated corpora; the
+    # contract pairing must be documented at the definition site
+    src = inspect.getsource(DenseConfig)
+    assert "512" in src and "pq_oversample=64" in src
+    assert "0.95" in src
