@@ -60,6 +60,7 @@ def _cmd_build(args) -> int:
         store_dir=args.store,
         finetune_steps=args.finetune_steps,
         finetune_token_weight=args.finetune_token_weight,
+        finetune_augment=args.finetune_augment,
         pq_m=args.pq_m,
         ivf_cell_size=args.ivf_cell_size,
         rerank_steps=args.rerank_steps,
@@ -373,6 +374,15 @@ def main(argv=None) -> int:
              "MRR 0.926->0.949, EVAL_RETRIEVAL_TOKCO.json) — use 0.5 "
              "when building a --multi-vector store; 0 (default) keeps "
              "the pooled-only recipe",
+    )
+    p.add_argument(
+        "--finetune-augment", type=float, default=0.0,
+        dest="finetune_augment", metavar="P",
+        help="probability a finetune query span is augmented (register "
+             "substitution / word dropout / unique-token rebuild, "
+             "models/finetune.py augment_query) — trains the everyday-"
+             "register bridge the paraphrase E2E diagnosis showed the "
+             "pooled recipe lacks; 0 (default) keeps the round-4 recipe",
     )
     p.add_argument(
         "--rerank-sibling-prob", type=float, default=0.0,

@@ -42,6 +42,7 @@ def build_index(
     store_dir=None,
     finetune_steps: int = 0,
     finetune_token_weight: float = 0.0,
+    finetune_augment: float = 0.0,
     pq_m: int = 0,
     ivf_cell_size: int = 0,
     rerank_steps: int = 0,
@@ -115,6 +116,9 @@ def build_index(
         if finetune_token_weight:
             # round-4 token-level (late-interaction) co-training
             ftag += f":tok{finetune_token_weight}"
+        if finetune_augment:
+            # round-5 register/dropout/unique-token query augmentation
+            ftag += f":aug{finetune_augment}"
         h.update(ftag.encode())
     if pq_m:
         # "opq8" fingerprints the quantizer recipe (8 OPQ iterations);
@@ -171,6 +175,7 @@ def build_index(
             log_fn=log_fn,
             chunks=chunks,
             token_maxsim_weight=finetune_token_weight,
+            augment_prob=finetune_augment,
         )
         if log_fn:
             log_fn(
@@ -248,6 +253,7 @@ def build_index(
         build_params={
             "finetune_steps": finetune_steps,
             "finetune_token_weight": finetune_token_weight,
+            "finetune_augment": finetune_augment,
             "pq_m": pq_m,
             "ivf_cell_size": ivf_cell_size,
             "rerank_steps": rerank_steps,

@@ -27,6 +27,102 @@ from legal_rag_tpu.models.train import make_train_step
 # from THIS constant, so changing the recipe invalidates stale stores.
 SIBLING_PROB_DEFAULT = 0.6
 
+# Statute-register -> everyday-register phrasings (round 5, VERDICT r4
+# items 3+5). The paraphrase E2E diagnosis (scripts/diag_paraphrase.py)
+# showed 5/8 failures are encoder misses: real victim queries use
+# everyday vocabulary ("grabbed my gold chain and sprinted off") that
+# never occurs in the statute-text spans the contrastive finetune
+# trains on, so the encoder has no bridge between the registers. This
+# table substitutes statute terms inside training spans with everyday
+# forms — the inverse direction of the classifier's _OFFENCE_FORMS map
+# (retrieval/classifier.py:59-95), which canonicalizes user phrasings
+# to offence entities. Multi-form values: one is sampled per hit.
+REGISTER_FORMS = {
+    "theft": ("stole my things", "stolen", "took my belongings"),
+    "robbery": ("robbed", "mugged at gunpoint"),
+    "snatching": ("grabbed my chain and ran off", "snatched from me"),
+    "assault": ("attacked", "beaten up"),
+    "rape": ("raped",),
+    "kidnapping": ("took away a child", "lured away"),
+    "abduction": ("taken away by force",),
+    "stalking": ("keeps following me around", "following me everywhere"),
+    "defamation": ("spreading made-up stories about me",
+                   "ruined my standing in the community"),
+    "cheating": ("sold me fake goods", "defrauded me"),
+    "extortion": ("blackmailed", "demanding money with threats"),
+    "acid": ("corrosive liquid",),
+    "dowry": ("demanding cash and gifts from my family",),
+    "detention": ("held by the police",),
+    "custody": ("held at the police station",),
+    "compensation": ("payment for my hospital bills",
+                     "money for the victim"),
+    "imprisonment": ("jail time",),
+    "grievous": ("serious", "severe"),
+    "hurt": ("injury",),
+    "intercourse": ("sexual act",),
+    "voluntarily": ("on purpose",),
+    "dishonestly": ("intending to cheat",),
+    "movable property": ("belongings",),
+    "examination": ("check-up by a doctor",),
+    "magistrate": ("judge",),
+    "cognizable": ("serious police-registrable",),
+}
+
+
+def augment_query(
+    span: str,
+    pos_text: str,
+    rng: np.random.Generator,
+    drop_prob: float = 0.15,
+) -> str:
+    """One augmentation of a training span, sampled among three kinds:
+
+    - ``register``: statute terms in the span replaced with everyday
+      phrasings (REGISTER_FORMS) — trains the victim-register bridge.
+    - ``dropout``: each word dropped with ``drop_prob`` (>=2 kept) —
+      robustness to missing vocabulary.
+    - ``unique``: the span is REBUILT from the source tokens absent
+      from the positive text (the paraphrase_pairs_from_chunks
+      construction, evaluation.py:77) — the hardest bridging signal:
+      zero lexical overlap with the positive by construction.
+
+    Falls back to dropout when a kind is inapplicable (no register hit,
+    no unique tokens), so the stream never stalls.
+    """
+    kind = ("register", "dropout", "unique")[int(rng.integers(3))]
+    words = span.split()
+    if kind == "register":
+        lowered = " " + span.lower() + " "
+        hits = [t for t in REGISTER_FORMS if f" {t} " in lowered
+                or lowered.strip().startswith(t + " ")
+                or lowered.strip().endswith(" " + t)]
+        if hits:
+            out = span
+            for t in hits:
+                forms = REGISTER_FORMS[t]
+                repl = forms[int(rng.integers(len(forms)))]
+                # whole-word, case-insensitive, first occurrence
+                import re
+
+                out = re.sub(
+                    rf"(?i)\b{re.escape(t)}\b", repl, out, count=1
+                )
+            return out
+        kind = "dropout"
+    if kind == "unique" and pos_text:
+        pos_toks = {w for w in pos_text.lower().split() if w.isalpha()}
+        uniq = [w for w in words
+                if w.isalpha() and w.lower() not in pos_toks]
+        if len(uniq) >= 3:
+            return " ".join(uniq[:16])
+        kind = "dropout"
+    if len(words) <= 2:
+        return span
+    keep = [w for w in words if rng.random() >= drop_prob]
+    if len(keep) < 2:
+        keep = words[:2]
+    return " ".join(keep)
+
 
 def make_pairs(
     texts: Sequence[str],
@@ -79,6 +175,7 @@ def make_sibling_pairs(
     rng: np.random.Generator,
     span_words: Tuple[int, int] = (3, 13),
     sibling_prob: float = SIBLING_PROB_DEFAULT,
+    augment_prob: float = 0.0,
 ) -> Iterator[Tuple[str, str]]:
     """Pair stream mixing two positive distributions.
 
@@ -90,6 +187,12 @@ def make_sibling_pairs(
     learns — round 2's span-only encoder scored chance (0.003 r@10) on
     the lexical-gap paraphrase split because nothing had ever pulled
     sibling chunks together in embedding space.
+
+    ``augment_prob`` (round 5): probability that the query span is
+    transformed by :func:`augment_query` (register substitution / word
+    dropout / unique-token rebuild) — the victim-register and
+    vocabulary-robustness signal the paraphrase E2E diagnosis showed
+    the pooled recipe lacks. 0.0 = the round-4 recipe, byte-identical.
     """
     texts = [c["text"] for c in chunks]
     usable = [i for i, t in enumerate(texts) if t.split()]
@@ -112,10 +215,13 @@ def make_sibling_pairs(
             pos = rest[int(rng.integers(len(rest)))]
             if not texts[src].split():
                 continue
-            yield span_of(src), texts[pos]
+            q, p = span_of(src), texts[pos]
         else:
             i = usable[int(rng.integers(len(usable)))]
-            yield span_of(i), texts[i]
+            q, p = span_of(i), texts[i]
+        if augment_prob and rng.random() < augment_prob:
+            q = augment_query(q, p, rng)
+        yield q, p
 
 
 def finetune_encoder(
@@ -132,6 +238,7 @@ def finetune_encoder(
     chunks: Optional[Sequence[dict]] = None,
     sibling_prob: float = SIBLING_PROB_DEFAULT,
     token_maxsim_weight: float = 0.0,
+    augment_prob: float = 0.0,
 ) -> Tuple[SentenceEncoder, List[float]]:
     """Fine-tune in place-ish: returns a NEW SentenceEncoder holding the
     trained params (tokenizer shared) plus the loss history.
@@ -162,7 +269,10 @@ def finetune_encoder(
 
     rng = np.random.default_rng(seed)
     if chunks is not None:
-        pair_stream = make_sibling_pairs(chunks, rng, sibling_prob=sibling_prob)
+        pair_stream = make_sibling_pairs(
+            chunks, rng, sibling_prob=sibling_prob,
+            augment_prob=augment_prob,
+        )
     else:
         pair_stream = make_pairs(texts, rng)
     max_len = min(encoder.cfg.max_len, 128)

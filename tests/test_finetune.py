@@ -185,3 +185,93 @@ def test_token_maxsim_cotraining_improves_maxsim_retrieval(corpus):
     trained = maxsim_r1(tok)
     assert trained >= rand, (rand, trained)
     assert trained > 0.25, trained
+
+
+def test_augment_query_register_substitution():
+    from legal_rag_tpu.models.finetune import REGISTER_FORMS, augment_query
+
+    rng = np.random.default_rng(0)
+    span = "punishment for theft of movable property"
+    # sample until the register branch fires; it must replace the
+    # statute term with one of its everyday forms
+    saw_register = False
+    for _ in range(50):
+        out = augment_query(span, "irrelevant positive text", rng)
+        if "theft" not in out and any(
+            f in out for f in REGISTER_FORMS["theft"]
+        ):
+            saw_register = True
+            break
+    assert saw_register
+
+
+def test_augment_query_unique_rebuild_disjoint_from_positive():
+    from legal_rag_tpu.models.finetune import augment_query
+
+    rng = np.random.default_rng(1)
+    span = "alpha bravo charlie delta echo foxtrot golf"
+    pos = "charlie delta lives in the target document"
+    saw_unique = False
+    for _ in range(50):
+        out = augment_query(span, pos, rng)
+        toks = set(out.split())
+        if toks and toks <= {"alpha", "bravo", "echo", "foxtrot", "golf"} \
+                and len(toks) >= 3:
+            saw_unique = True
+            break
+    assert saw_unique
+
+
+def test_augment_query_never_empty():
+    from legal_rag_tpu.models.finetune import augment_query
+
+    rng = np.random.default_rng(2)
+    for span in ("one two", "a b c d e f", "theft", "x"):
+        for _ in range(30):
+            out = augment_query(span, "", rng)
+            assert out.split(), (span, out)
+
+
+def test_sibling_pairs_augment_prob_changes_stream_only_when_set():
+    from legal_rag_tpu.models.finetune import make_sibling_pairs
+
+    chunks = [
+        {"text": f"section body words theft robbery assault {i} "
+                 f"extra tokens here", "metadata": {
+            "law": "BNS", "section": str(i // 2)}}
+        for i in range(8)
+    ]
+    base = [next_pair for next_pair, _ in zip(
+        make_sibling_pairs(chunks, np.random.default_rng(7)), range(40))]
+    same = [next_pair for next_pair, _ in zip(
+        make_sibling_pairs(chunks, np.random.default_rng(7),
+                           augment_prob=0.0), range(40))]
+    aug = [next_pair for next_pair, _ in zip(
+        make_sibling_pairs(chunks, np.random.default_rng(7),
+                           augment_prob=1.0), range(40))]
+    # augment_prob=0.0 is byte-identical to the round-4 stream
+    assert base == same
+    # augmentation changes at least some query spans, never positives
+    assert [p for _, p in aug] == [p for _, p in base] or any(
+        q1 != q2 for (q1, _), (q2, _) in zip(aug, base)
+    )
+    assert any(q1 != q2 for (q1, _), (q2, _) in zip(aug, base))
+    assert all(q.split() for q, _ in aug)
+
+
+def test_build_index_fingerprints_augment(tmp_path, corpus):
+    """An augmented build must not hash-match a non-augmented store."""
+    from legal_rag_tpu.index.builder import build_index
+
+    chunks = [
+        {"text": t, "metadata": {"law": "BNS", "section": str(i // 2)},
+         "canonical_header": f"h{i}", "section_id": f"BNS_{i//2}"}
+        for i, t in enumerate(corpus[:8])
+    ]
+    cfg = RetrievalConfig(encoder=TINY)
+    s1 = build_index(chunks, config=cfg, store_dir=tmp_path / "a",
+                     finetune_steps=2)
+    s2 = build_index(chunks, config=cfg, store_dir=tmp_path / "b",
+                     finetune_steps=2, finetune_augment=0.3)
+    assert s1.corpus_hash != s2.corpus_hash
+    assert s2.build_params["finetune_augment"] == 0.3
