@@ -271,3 +271,32 @@ def test_maxsim_2d_mesh_matches_1d(mv_store):
     np.testing.assert_allclose(
         np.asarray(r2s), np.asarray(r1s), rtol=1e-5, atol=1e-6
     )
+
+
+def test_shared_forward_pooled_matches_encode(mv_store):
+    """ADVICE r4: maxsim-rerank's dense candidate stage uses the pooled
+    view from the Td-truncated shared forward (_encode_query_tokens)
+    instead of SentenceEncoder.encode's full-length pass. For queries
+    within the Td budget the two must agree to numerical precision;
+    for longer queries the truncation drift must stay bounded (the
+    pooled view mean-pools fewer tokens, but both are unit vectors
+    over the same leading tokens)."""
+    engine = RetrievalEngine(mv_store, config=TINY_CFG)
+
+    short = [
+        "first words", "theft of property", "a b c", "short query text",
+    ]
+    _, _, pooled = engine._encode_query_tokens(short)
+    full = engine.encoder.encode(short)
+    cos_short = np.sum(np.asarray(pooled) * full, axis=1)
+    # identical tokens, identical forward, identical pooling -> equal
+    np.testing.assert_allclose(cos_short, 1.0, atol=1e-5)
+
+    # a query longer than Td=12 tokens: truncated pooled view drifts,
+    # but stays strongly aligned with the full-length embedding (the
+    # truncated tokens are the query's own prefix, not noise)
+    long_q = [" ".join(f"word{i}" for i in range(30))]
+    _, _, pooled_l = engine._encode_query_tokens(long_q)
+    full_l = engine.encoder.encode(long_q)
+    cos_long = float(np.sum(np.asarray(pooled_l) * full_l))
+    assert cos_long > 0.5, cos_long  # bounded drift, not equality
