@@ -91,8 +91,11 @@ class EngineHost:
             logger.info("warmup complete in %.1fs", time.time() - t0)
             # coalesce concurrent requests' searches into shared device
             # dispatches (after warmup, so compiles never serialize
-            # behind the window)
-            self.coalescer = engine.engine.enable_request_coalescing()
+            # behind the window). LEGAL_RAG_NO_COALESCE=1 serves each
+            # request as its own dispatch (A/B lever for the HTTP load
+            # benchmark, scripts/bench_http.py)
+            if os.environ.get("LEGAL_RAG_NO_COALESCE", "") != "1":
+                self.coalescer = engine.engine.enable_request_coalescing()
             self.engine = engine
             logger.info("background engine load complete")
         except Exception as e:  # noqa: BLE001 — surfaced via /health
