@@ -34,6 +34,13 @@ RUN make -C legal_rag_tpu/native || true
 # the build log.
 ARG FINETUNE_STEPS=4000
 ARG RERANK_STEPS=auto
+# Round-5 gated serving recipe (EVAL_GATE_COMBO.json /
+# quality_report_combo.json): token co-training at 0.5 with a 32-token
+# multi-vector slab — free for dense (structure RRF r@10 0.976,
+# sibling dense 0.689, core quality 10/10) and lifts every MaxSim
+# metric (structure full-scan MRR 0.949, best of any mode).
+ARG FINETUNE_TOKEN_WEIGHT=0.5
+ARG MULTI_VECTOR=32
 COPY README.md corpus* /corpus/
 RUN if ls /corpus/*.md /corpus/*.json >/dev/null 2>&1 \
         && [ "$(ls /corpus | grep -v '^README.md$' | head -1)" ]; then \
@@ -42,7 +49,7 @@ RUN if ls /corpus/*.md /corpus/*.json >/dev/null 2>&1 \
             RS=$(python -c "import jax; print(12000 if jax.default_backend() == 'tpu' else 0)"); \
         fi; \
         echo "RERANK_STEPS resolved to ${RS} (auto=0 unless the build container itself sees a TPU; pass --build-arg RERANK_STEPS=12000 to bake the cross-encoder)"; \
-        python -m legal_rag_tpu build --source /corpus --store /app/data/store --finetune-steps ${FINETUNE_STEPS} --rerank-steps ${RS}; \
+        python -m legal_rag_tpu build --source /corpus --store /app/data/store --finetune-steps ${FINETUNE_STEPS} --finetune-token-weight ${FINETUNE_TOKEN_WEIGHT} --multi-vector ${MULTI_VECTOR} --rerank-steps ${RS}; \
     fi
 
 ENV PORT=8000 LEGAL_RAG_STORE=/app/data/store

@@ -65,35 +65,46 @@ def wait_ready(port: int, timeout_s: float = 600.0) -> None:
     raise TimeoutError(f"server not ready after {timeout_s}s")
 
 
-def client_loop(port: int, n: int, offset: int, out: list) -> None:
-    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
-    lat = []
+def client_loop(port: int, n: int, offset: int, out: list,
+                errors: list) -> None:
+    """Sequential requests on one keep-alive connection. Failures
+    (timeouts at saturation, non-200s) are COUNTED, not raised — a
+    stack that can't sustain the level should report that as data."""
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=180)
     for i in range(n):
         q = QUERIES[(offset + i) % len(QUERIES)]
         body = json.dumps({"query": q}).encode()
         t0 = time.perf_counter()
-        conn.request(
-            "POST", "/api/v1/query", body,
-            {"Content-Type": "application/json"},
-        )
-        resp = conn.getresponse()
-        data = resp.read()
-        dt = time.perf_counter() - t0
-        if resp.status != 200:
-            raise RuntimeError(f"{resp.status}: {data[:200]!r}")
-        lat.append(dt)
+        try:
+            conn.request(
+                "POST", "/api/v1/query", body,
+                {"Content-Type": "application/json"},
+            )
+            resp = conn.getresponse()
+            data = resp.read()
+            if resp.status != 200:
+                errors.append(f"{resp.status}: {data[:120]!r}")
+                continue
+            out.append(time.perf_counter() - t0)
+        except Exception as e:  # noqa: BLE001 — saturation timeouts
+            errors.append(f"{type(e).__name__}: {e}")
+            conn.close()
+            conn = http.client.HTTPConnection(
+                "127.0.0.1", port, timeout=180
+            )
     conn.close()
-    out.extend(lat)
 
 
 def run_level(port: int, concurrency: int, n_per_client: int) -> dict:
     threads, results = [], []
+    errors: list = []
     t0 = time.perf_counter()
     for c in range(concurrency):
         out: list = []
         results.append(out)
         th = threading.Thread(
-            target=client_loop, args=(port, n_per_client, c * 3, out)
+            target=client_loop,
+            args=(port, n_per_client, c * 3, out, errors),
         )
         th.start()
         threads.append(th)
@@ -101,21 +112,27 @@ def run_level(port: int, concurrency: int, n_per_client: int) -> dict:
         th.join()
     wall = time.perf_counter() - t0
     lat = sorted(x for out in results for x in out)
+    row = {
+        "concurrency": concurrency,
+        "n_requests": len(lat),
+        "n_errors": len(errors),
+    }
+    if errors:
+        row["error_sample"] = errors[0]
     if not lat:
-        raise RuntimeError("no latencies recorded")
+        return row
 
     def pct(p):
         return lat[min(len(lat) - 1, int(p / 100 * len(lat)))]
 
-    return {
-        "concurrency": concurrency,
-        "n_requests": len(lat),
+    row.update({
         "p50_ms": round(pct(50) * 1e3, 2),
         "p90_ms": round(pct(90) * 1e3, 2),
         "p99_ms": round(pct(99) * 1e3, 2),
         "mean_ms": round(sum(lat) / len(lat) * 1e3, 2),
         "qps": round(len(lat) / wall, 1),
-    }
+    })
+    return row
 
 
 def start_server(store: str, port: int, no_coalesce: bool):
@@ -166,9 +183,9 @@ def main():
             rows = []
             for c in levels:
                 row = run_level(args.port, c, args.requests)
-                print(f"[{name}] c={c}: p50 {row['p50_ms']} ms "
-                      f"p99 {row['p99_ms']} ms qps {row['qps']}",
-                      flush=True)
+                print(f"[{name}] c={c}: p50 {row.get('p50_ms')} ms "
+                      f"p99 {row.get('p99_ms')} ms qps {row.get('qps')} "
+                      f"errors {row['n_errors']}", flush=True)
                 rows.append(row)
             report["passes"][name] = rows
         finally:
