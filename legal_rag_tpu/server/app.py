@@ -66,12 +66,25 @@ class EngineHost:
             from legal_rag_tpu.retrieval.facade import LegalEngine
             from legal_rag_tpu.server.source_fetcher import set_default_catalog
 
+            # LEGAL_RAG_NO_RERANK=1 serves without the cross-encoder
+            # precision stage even when the store carries a checkpoint
+            # — the CE forward is ~5 s/query on a CPU backend
+            # (BASELINE.md round-5 HTTP table), so CPU deployments of
+            # a TPU-built store want it off; None keeps auto-enable
+            rerank = (
+                False
+                if os.environ.get("LEGAL_RAG_NO_RERANK", "") == "1"
+                else None
+            )
             if self.config is not None:
                 engine = LegalEngine(
-                    store_dir=self.store_dir, config=self.config
+                    store_dir=self.store_dir, config=self.config,
+                    rerank=rerank,
                 )
             else:
-                engine = LegalEngine(store_dir=self.store_dir)
+                engine = LegalEngine(
+                    store_dir=self.store_dir, rerank=rerank
+                )
             set_default_catalog(engine.engine.store.chunks)
             # Warmup: drive one representative query through the full
             # pipeline while /health still reports "loading" — jit

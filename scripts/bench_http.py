@@ -135,7 +135,8 @@ def run_level(port: int, concurrency: int, n_per_client: int) -> dict:
     return row
 
 
-def start_server(store: str, port: int, no_coalesce: bool):
+def start_server(store: str, port: int, no_coalesce: bool,
+                 no_rerank: bool = False):
     env = dict(os.environ)
     env["LEGAL_RAG_STORE"] = store
     env["PORT"] = str(port)
@@ -143,6 +144,10 @@ def start_server(store: str, port: int, no_coalesce: bool):
         env["LEGAL_RAG_NO_COALESCE"] = "1"
     else:
         env.pop("LEGAL_RAG_NO_COALESCE", None)
+    if no_rerank:
+        env["LEGAL_RAG_NO_RERANK"] = "1"
+    else:
+        env.pop("LEGAL_RAG_NO_RERANK", None)
     proc = subprocess.Popen(
         [sys.executable, "-m", "legal_rag_tpu.server.app"],
         env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
@@ -160,19 +165,25 @@ def main():
     ap.add_argument("--concurrency", default="1,16,64")
     ap.add_argument("--no-coalesce-pass", action="store_true",
                     help="additionally measure with coalescing disabled")
+    ap.add_argument("--no-rerank-pass", action="store_true",
+                    help="additionally measure without the CE stage "
+                         "(the reference-equivalent pipeline — its CPU "
+                         "stack has no cross-encoder)")
     ap.add_argument("--report", default=None)
     args = ap.parse_args()
     levels = [int(x) for x in args.concurrency.split(",")]
 
     import jax  # noqa: F401 — record the backend in provenance
 
-    passes = [("coalesced", False)]
+    passes = [("coalesced", False, False)]
     if args.no_coalesce_pass:
-        passes.append(("uncoalesced", True))
+        passes.append(("uncoalesced", True, False))
+    if args.no_rerank_pass:
+        passes.append(("no_rerank", False, True))
 
     report = {"store": args.store, "passes": {}}
-    for name, no_coal in passes:
-        proc = start_server(args.store, args.port, no_coal)
+    for name, no_coal, no_rr in passes:
+        proc = start_server(args.store, args.port, no_coal, no_rr)
         try:
             wait_ready(args.port)
             # warm every query form (and so every jit bucket shape —
