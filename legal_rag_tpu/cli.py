@@ -61,6 +61,7 @@ def _cmd_build(args) -> int:
         finetune_steps=args.finetune_steps,
         finetune_token_weight=args.finetune_token_weight,
         finetune_augment=args.finetune_augment,
+        finetune_augment_kinds=args.finetune_augment_kinds,
         pq_m=args.pq_m,
         ivf_cell_size=args.ivf_cell_size,
         rerank_steps=args.rerank_steps,
@@ -383,6 +384,15 @@ def main(argv=None) -> int:
              "models/finetune.py augment_query) — trains the everyday-"
              "register bridge the paraphrase E2E diagnosis showed the "
              "pooled recipe lacks; 0 (default) keeps the round-4 recipe",
+    )
+    p.add_argument(
+        "--finetune-augment-kinds", default="",
+        dest="finetune_augment_kinds", metavar="K1,K2",
+        help="restrict the augmentation mix to a comma-separated subset "
+             "of register,dropout,unique (with --finetune-augment). The "
+             "uniform 3-kind mix measured as a regression on every gate "
+             "(BASELINE.md round-5 augmentation table); empty (default) "
+             "keeps the uniform mix",
     )
     p.add_argument(
         "--rerank-sibling-prob", type=float, default=0.0,

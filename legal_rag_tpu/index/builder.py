@@ -43,6 +43,7 @@ def build_index(
     finetune_steps: int = 0,
     finetune_token_weight: float = 0.0,
     finetune_augment: float = 0.0,
+    finetune_augment_kinds: str = "",
     pq_m: int = 0,
     ivf_cell_size: int = 0,
     rerank_steps: int = 0,
@@ -119,6 +120,10 @@ def build_index(
         if finetune_augment:
             # round-5 register/dropout/unique-token query augmentation
             ftag += f":aug{finetune_augment}"
+            if finetune_augment_kinds:
+                # restricted kind mix ("register,dropout") — part of the
+                # recipe identity, so it invalidates the resume hash
+                ftag += f":kinds[{finetune_augment_kinds}]"
         h.update(ftag.encode())
     if pq_m:
         # "opq8" fingerprints the quantizer recipe (8 OPQ iterations);
@@ -176,6 +181,13 @@ def build_index(
             chunks=chunks,
             token_maxsim_weight=finetune_token_weight,
             augment_prob=finetune_augment,
+            **(
+                {"augment_kinds": tuple(
+                    k.strip() for k in finetune_augment_kinds.split(",")
+                    if k.strip()
+                )}
+                if finetune_augment_kinds else {}
+            ),
         )
         if log_fn:
             log_fn(
@@ -254,6 +266,7 @@ def build_index(
             "finetune_steps": finetune_steps,
             "finetune_token_weight": finetune_token_weight,
             "finetune_augment": finetune_augment,
+            "finetune_augment_kinds": finetune_augment_kinds,
             "pq_m": pq_m,
             "ivf_cell_size": ivf_cell_size,
             "rerank_steps": rerank_steps,

@@ -69,11 +69,15 @@ REGISTER_FORMS = {
 }
 
 
+AUGMENT_KINDS_DEFAULT = ("register", "dropout", "unique")
+
+
 def augment_query(
     span: str,
     pos_text: str,
     rng: np.random.Generator,
     drop_prob: float = 0.15,
+    kinds: Tuple[str, ...] = AUGMENT_KINDS_DEFAULT,
 ) -> str:
     """One augmentation of a training span, sampled among three kinds:
 
@@ -87,9 +91,13 @@ def augment_query(
       zero lexical overlap with the positive by construction.
 
     Falls back to dropout when a kind is inapplicable (no register hit,
-    no unique tokens), so the stream never stalls.
+    no unique tokens), so the stream never stalls. ``kinds`` restricts
+    the sampled set (``--finetune-augment-kinds``): the uniform 3-kind
+    mix at P=0.3 measured as a regression on every gate (BASELINE.md
+    round-5 augmentation table), so variants isolate which kind earns
+    its keep.
     """
-    kind = ("register", "dropout", "unique")[int(rng.integers(3))]
+    kind = kinds[int(rng.integers(len(kinds)))]
     words = span.split()
     if kind == "register":
         lowered = " " + span.lower() + " "
@@ -176,6 +184,7 @@ def make_sibling_pairs(
     span_words: Tuple[int, int] = (3, 13),
     sibling_prob: float = SIBLING_PROB_DEFAULT,
     augment_prob: float = 0.0,
+    augment_kinds: Tuple[str, ...] = AUGMENT_KINDS_DEFAULT,
 ) -> Iterator[Tuple[str, str]]:
     """Pair stream mixing two positive distributions.
 
@@ -220,7 +229,7 @@ def make_sibling_pairs(
             i = usable[int(rng.integers(len(usable)))]
             q, p = span_of(i), texts[i]
         if augment_prob and rng.random() < augment_prob:
-            q = augment_query(q, p, rng)
+            q = augment_query(q, p, rng, kinds=augment_kinds)
         yield q, p
 
 
@@ -239,6 +248,7 @@ def finetune_encoder(
     sibling_prob: float = SIBLING_PROB_DEFAULT,
     token_maxsim_weight: float = 0.0,
     augment_prob: float = 0.0,
+    augment_kinds: Tuple[str, ...] = AUGMENT_KINDS_DEFAULT,
 ) -> Tuple[SentenceEncoder, List[float]]:
     """Fine-tune in place-ish: returns a NEW SentenceEncoder holding the
     trained params (tokenizer shared) plus the loss history.
@@ -271,7 +281,7 @@ def finetune_encoder(
     if chunks is not None:
         pair_stream = make_sibling_pairs(
             chunks, rng, sibling_prob=sibling_prob,
-            augment_prob=augment_prob,
+            augment_prob=augment_prob, augment_kinds=augment_kinds,
         )
     else:
         pair_stream = make_pairs(texts, rng)

@@ -275,3 +275,26 @@ def test_build_index_fingerprints_augment(tmp_path, corpus):
                      finetune_steps=2, finetune_augment=0.3)
     assert s1.corpus_hash != s2.corpus_hash
     assert s2.build_params["finetune_augment"] == 0.3
+    # a kind-restricted mix is a different recipe than the uniform one
+    s3 = build_index(chunks, config=cfg, store_dir=tmp_path / "c",
+                     finetune_steps=2, finetune_augment=0.3,
+                     finetune_augment_kinds="register,dropout")
+    assert s3.corpus_hash != s2.corpus_hash
+    assert s3.build_params["finetune_augment_kinds"] == "register,dropout"
+
+
+def test_augment_query_kinds_restriction():
+    """kinds=('register','dropout') must never emit a unique-rebuild:
+    every output keeps word order / subset semantics of the span (no
+    query built exclusively from positive-absent tokens)."""
+    from legal_rag_tpu.models.finetune import augment_query
+
+    rng = np.random.default_rng(3)
+    span = "alpha bravo charlie delta echo foxtrot golf"
+    pos = "charlie delta lives in the target document"
+    for _ in range(200):
+        out = augment_query(span, pos, rng, kinds=("dropout",))
+        # dropout-only: output tokens are a subsequence of the span
+        toks = out.split()
+        it = iter(span.split())
+        assert all(any(t == s for s in it) for t in toks), out
