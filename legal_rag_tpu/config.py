@@ -100,6 +100,17 @@ class FusionConfig:
     # paraphrase untouched (heading_rate 0.00 — no 12-word span query
     # is heading-like, so those keep the conservative gate-fit alpha).
     ce_heading_alpha: "float | None" = 0.5
+    # Round-5 fusion form policy (retrieval/query_form.py): queries in
+    # narrative register (long + function-word/interrogative marker)
+    # take dense fusion instead of `mode`; heading-register queries
+    # keep `mode`. Measured per split with bootstrap CI95 in
+    # EVAL_FUSION_POLICY.json (n=1042 structure / 2029 sibling): dense
+    # is the paraphrase king (sibling r@10 +0.027 [CI>0] over RRF) and
+    # the E2E diagnosis showed RRF burying targets dense surfaced at
+    # ranks 4-20; the narrative detector keeps structure exposure to
+    # 14.7% of queries so the heading-register RRF floors hold.
+    # None disables the policy (pure `mode` for every query).
+    narrative_mode: "str | None" = "dense"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -96,8 +96,8 @@ class LegalOrchestrator:
         # ONE batched device program for the whole expansion set; with
         # a reranker, fetch a wider pool for the precision stage to act on
         k_fetch = max(k, self.rerank_candidates) if self.reranker else k
-        batched = self.engine.search_batch(
-            queries, k=k_fetch, hybrid_weights=weights, mode=mode
+        batched = self._search_with_form_policy(
+            queries, k_fetch, weights, mode
         )
 
         # merge in query order, dedupe by canonical header
@@ -116,6 +116,59 @@ class LegalOrchestrator:
         prioritized = self.prioritize_results(merged, intent)
         expanded = self.expand_results(prioritized[:k])
         return {"intent": intent.to_dict(), "results": expanded}
+
+    def _search_with_form_policy(
+        self,
+        queries: List[str],
+        k_fetch: int,
+        weights: List[float],
+        mode: Optional[str],
+    ) -> List[List[SearchResult]]:
+        """Per-query fusion routing by query form (round 5).
+
+        Narrative-register queries take ``fusion.narrative_mode``
+        (measured: dense beats RRF on the paraphrase split, r@10 0.690
+        vs 0.659, and the E2E leak diagnosis showed RRF burying targets
+        the dense channel surfaced at ranks 4-20); heading-register
+        queries keep the default mode. An explicit caller ``mode``
+        (API ``fusion_mode``) pins every query and bypasses the policy.
+        At most two device programs per request (one per form present).
+        """
+        fusion_cfg = self.engine.config.fusion
+        if mode is not None or not fusion_cfg.narrative_mode:
+            return self.engine.search_batch(
+                queries, k=k_fetch, hybrid_weights=weights, mode=mode
+            )
+        from legal_rag_tpu.retrieval.query_form import is_narrative
+
+        narrative = [is_narrative(q) for q in queries]
+        # "dense" rides the weighted program with weight 0 — the fused
+        # score then IS the dense score (evaluation.py's dense mode)
+        narr_mode, narr_weights = (
+            ("weighted", [0.0] * len(queries))
+            if fusion_cfg.narrative_mode == "dense"
+            else (fusion_cfg.narrative_mode, weights)
+        )
+        if all(narrative):
+            return self.engine.search_batch(
+                queries, k=k_fetch, hybrid_weights=narr_weights,
+                mode=narr_mode,
+            )
+        if not any(narrative):
+            return self.engine.search_batch(
+                queries, k=k_fetch, hybrid_weights=weights, mode=None
+            )
+        out: List[Optional[List[SearchResult]]] = [None] * len(queries)
+        for flag, sub_mode in ((True, narr_mode), (False, None)):
+            idx = [i for i, n in enumerate(narrative) if n is flag]
+            sub_w = [(narr_weights if flag else weights)[i] for i in idx]
+            rows = self.engine.search_batch(
+                [queries[i] for i in idx], k=k_fetch,
+                hybrid_weights=sub_w, mode=sub_mode,
+            )
+            for i, row in zip(idx, rows):
+                out[i] = row
+        return out  # type: ignore[return-value]
 
     def rerank_results(
         self, query: str, results: List[Dict], k: int = 0, intent=None

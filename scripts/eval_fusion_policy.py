@@ -40,16 +40,21 @@ PERSON_MARKERS = frozenset(
     "girlfriend cousin nephew niece son daughter family".split()
 )
 
-
-def is_narrative(query: str, require_person: bool) -> bool:
+def is_narrative(query: str, variant: str) -> bool:
     from legal_rag_tpu.models.cross_encoder import HEADING_MAX_WORDS
+    from legal_rag_tpu.retrieval import query_form
 
     words = query.lower().split()
     if len(words) <= HEADING_MAX_WORDS:
         return False
-    if not require_person:
+    if variant == "words":
         return True
-    return any(w.strip(".,?!'\"") in PERSON_MARKERS for w in words)
+    if variant == "person":
+        return any(w in PERSON_MARKERS for w in query_form._tokens(query))
+    if variant == "narrative":
+        # the shipped detector (retrieval/query_form.py)
+        return query_form.is_narrative(query)
+    raise ValueError(variant)
 
 
 def ranked_ids(engine, queries, kmax, mode, weights=None, chunk=256):
@@ -144,23 +149,34 @@ def main():
         extra = int(any(e is not None for e in excludes))
         kmax = min(10 + extra, store.n_docs)
 
-        rrf = ranked_ids(engine, queries, kmax, "rrf")
-        dense = ranked_ids(engine, queries, kmax, "weighted", weights=0.0)
-        if extra:
-            rrf, dense = mask_excludes(rrf, excludes), mask_excludes(
-                dense, excludes)
+        # cache the two base rankings per (store, split): detector
+        # iteration is then free (retrieval is the expensive part)
+        cache = f"/tmp/fusion_rank_cache_{os.path.basename(args.store)}_{name}.npz"
+        if os.path.exists(cache):
+            z = np.load(cache)
+            rrf, dense = z["rrf"], z["dense"]
+        else:
+            rrf = ranked_ids(engine, queries, kmax, "rrf")
+            dense = ranked_ids(engine, queries, kmax, "weighted",
+                               weights=0.0)
+            if extra:
+                rrf, dense = mask_excludes(rrf, excludes), mask_excludes(
+                    dense, excludes)
+            np.savez(cache, rrf=rrf, dense=dense)
 
         rows = {"rrf": rrf, "dense": dense}
-        for pol, person in (("policy_words", False),
-                            ("policy_person", True)):
+        for pol, variant in (("policy_words", "words"),
+                             ("policy_person", "person"),
+                             ("policy_narrative", "narrative")):
             narr = np.array(
-                [is_narrative(q, require_person=person) for q in queries])
+                [is_narrative(q, variant=variant) for q in queries])
             rows[pol] = np.where(narr[:, None], dense, rrf)
             rows[f"{pol}:narrative_rate"] = narr
 
         out = {}
         base_hits, base_rr = per_query_hits(rows["rrf"], relevants)
-        for mode in ("rrf", "dense", "policy_words", "policy_person"):
+        for mode in ("rrf", "dense", "policy_words", "policy_person",
+                     "policy_narrative"):
             entry = score(rows[mode], relevants)
             if mode != "rrf":
                 hits, rr = per_query_hits(rows[mode], relevants)

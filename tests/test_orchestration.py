@@ -194,6 +194,118 @@ def test_parent_expansion_attaches_section_text(legal_engine):
     )
 
 
+# --- fusion form policy (round 5) ---------------------------------------
+
+
+def test_query_form_detector():
+    from legal_rag_tpu.quality import PARAPHRASE_SUITE
+    from legal_rag_tpu.retrieval.query_form import is_heading, is_narrative
+
+    # every paraphrase-suite query is narrative (the policy's target)
+    for q, _, _ in PARAPHRASE_SUITE:
+        assert is_narrative(q), q
+    # short heading-register queries are never narrative
+    for q in ("Punishment for robbery", "Zero FIR", "Section 103 murder"):
+        assert is_heading(q) and not is_narrative(q), q
+    # long section titles without function words stay non-narrative
+    assert not is_narrative(
+        "Punishment for criminal breach of trust by public servant banker "
+        "merchant agent"
+    )
+    # statute-register sentences carry auxiliaries -> narrative
+    assert is_narrative(
+        "whoever commits robbery shall be punished with rigorous "
+        "imprisonment for a term"
+    )
+
+
+class _RecordingEngine:
+    """Stub engine capturing search_batch calls for routing tests."""
+
+    def __init__(self, narrative_mode="dense"):
+        from legal_rag_tpu.config import RetrievalConfig, FusionConfig
+        import dataclasses
+
+        self.config = dataclasses.replace(
+            RetrievalConfig(),
+            fusion=FusionConfig(narrative_mode=narrative_mode),
+        )
+        self.store = type("S", (), {"chunks": []})()
+        self.calls = []
+
+    def search_batch(self, queries, k=None, hybrid_weights=None, mode=None):
+        self.calls.append(
+            {"queries": list(queries), "weights": list(hybrid_weights),
+             "mode": mode}
+        )
+        return [[] for _ in queries]
+
+
+def _orchestrator(engine):
+    from legal_rag_tpu.retrieval.orchestrator import LegalOrchestrator
+
+    return LegalOrchestrator(engine, classifier=QueryClassifier(None))
+
+
+def test_narrative_policy_routes_dense():
+    eng = _RecordingEngine()
+    orch = _orchestrator(eng)
+    narrative = "someone is spreading made-up stories that ruined my standing"
+    rows = orch._search_with_form_policy([narrative], 5, [0.5], None)
+    assert rows == [[]]
+    assert len(eng.calls) == 1
+    # dense = weighted program with weight 0 (evaluation.py semantics)
+    assert eng.calls[0]["mode"] == "weighted"
+    assert eng.calls[0]["weights"] == [0.0]
+
+
+def test_heading_queries_keep_default_mode():
+    eng = _RecordingEngine()
+    orch = _orchestrator(eng)
+    orch._search_with_form_policy(["Punishment for robbery"], 5, [0.5], None)
+    assert eng.calls == [
+        {"queries": ["Punishment for robbery"], "weights": [0.5],
+         "mode": None}
+    ]
+
+
+def test_mixed_batch_splits_and_preserves_order():
+    eng = _RecordingEngine()
+    orch = _orchestrator(eng)
+    narrative = "my ex keeps following me around and contacting me after"
+    heading = "Punishment for robbery"
+    rows = orch._search_with_form_policy(
+        [narrative, heading], 5, [0.5, 0.6], None
+    )
+    assert len(rows) == 2 and all(r == [] for r in rows)
+    assert len(eng.calls) == 2
+    narr_call = next(c for c in eng.calls if c["mode"] == "weighted")
+    head_call = next(c for c in eng.calls if c["mode"] is None)
+    assert narr_call["queries"] == [narrative]
+    assert narr_call["weights"] == [0.0]
+    assert head_call["queries"] == [heading]
+    assert head_call["weights"] == [0.6]
+
+
+def test_explicit_mode_bypasses_policy():
+    eng = _RecordingEngine()
+    orch = _orchestrator(eng)
+    narrative = "my ex keeps following me around and contacting me after"
+    orch._search_with_form_policy([narrative], 5, [0.5], "rrf")
+    assert eng.calls == [
+        {"queries": [narrative], "weights": [0.5], "mode": "rrf"}
+    ]
+
+
+def test_policy_disabled_when_narrative_mode_none():
+    eng = _RecordingEngine(narrative_mode=None)
+    orch = _orchestrator(eng)
+    narrative = "my ex keeps following me around and contacting me after"
+    orch._search_with_form_policy([narrative], 5, [0.5], None)
+    assert eng.calls[0]["mode"] is None
+    assert eng.calls[0]["weights"] == [0.5]
+
+
 # --- responder ---------------------------------------------------------
 
 
