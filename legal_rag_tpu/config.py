@@ -102,15 +102,16 @@ class FusionConfig:
     ce_heading_alpha: "float | None" = 0.5
     # Round-5 fusion form policy (retrieval/query_form.py): queries in
     # narrative register (long + function-word/interrogative marker)
-    # take dense fusion instead of `mode`; heading-register queries
-    # keep `mode`. Measured per split with bootstrap CI95 in
-    # EVAL_FUSION_POLICY.json (n=1042 structure / 2029 sibling): dense
-    # is the paraphrase king (sibling r@10 +0.027 [CI>0] over RRF) and
-    # the E2E diagnosis showed RRF burying targets dense surfaced at
-    # ranks 4-20; the narrative detector keeps structure exposure to
-    # 14.7% of queries so the heading-register RRF floors hold.
-    # None disables the policy (pure `mode` for every query).
-    narrative_mode: "str | None" = "dense"
+    # get a dense-leaning ranking; heading-register queries keep
+    # `mode`. Measured per split with bootstrap CI95 in
+    # EVAL_FUSION_POLICY.json (n=1042 structure / 2029 sibling, serving
+    # store): "dense-union" (dense-first rank interleave with the
+    # default-mode ranking) holds structure r@5/r@10 exactly at RRF's,
+    # gives the best sibling MRR of any mode (0.497 vs dense 0.490 /
+    # rrf 0.464), and keeps BM25-carried E2E groundings that the
+    # pure-"dense" replacement lost (suite 2/10 -> 1/10, so replacement
+    # was demoted to an opt-in). None disables the policy.
+    narrative_mode: "str | None" = "dense-union"
 
 
 @dataclasses.dataclass(frozen=True)

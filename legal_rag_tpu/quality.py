@@ -246,6 +246,9 @@ def _provenance(engine) -> Dict:
     if cfg is not None:
         prov["dense_dtype"] = cfg.dense.dtype
         prov["fusion_mode"] = cfg.fusion.mode
+        # r5 narrative-form routing changes serving behavior; a report
+        # with the policy on must be distinguishable from one without
+        prov["narrative_mode"] = cfg.fusion.narrative_mode
     return prov
 
 

@@ -22,6 +22,45 @@ from legal_rag_tpu.retrieval.llm import LLMClient
 _EXPANSION_OFFENCES = ("robbery", "assault", "rape", "theft")
 
 
+def _union_interleave(
+    dense_row: List["SearchResult"],
+    base_row: List["SearchResult"],
+    k: int,
+    rrf_k: int,
+) -> List["SearchResult"]:
+    """Dense-first rank interleave of two rankings for one query
+    (round-5 narrative `dense-union` policy).
+
+    Measured on the serving store's cached rankings
+    (EVAL_FUSION_POLICY.json `policy_union` rows): holds structure
+    r@5/r@10 exactly at RRF's while giving the best sibling MRR of any
+    mode (0.497 vs dense 0.490 / rrf 0.464) — and unlike pure-dense
+    replacement it keeps BM25-carried groundings (the E2E suite's
+    statute-vocabulary hits sit at RRF rank 1 and survive at union
+    rank <= 2; pure replacement dropped the suite from 2/10 to 1/10).
+
+    Rows are RE-SCORED by reciprocal interleave rank, 1/(rrf_k + pos):
+    the two sources score on different scales (cosine fusion vs RRF
+    sums) and every downstream stage — CE minmax blend, multiplicative
+    rule boosts, the k cut — orders by `score`, so the interleaved
+    rank must be what the score encodes. semantic/keyword components
+    keep their source values for display.
+    """
+    import dataclasses
+
+    seen, out = set(), []
+    for j in range(max(len(dense_row), len(base_row))):
+        for row in (dense_row[j:j + 1] + base_row[j:j + 1]):
+            if row.doc_id not in seen:
+                seen.add(row.doc_id)
+                out.append(dataclasses.replace(
+                    row, score=1.0 / (rrf_k + len(out))
+                ))
+            if len(out) >= k:
+                return out
+    return out
+
+
 def expansion_queries(intent: QueryIntent) -> List[str]:
     """The reference's victim-distress concept expansion
     (orchestrator.py:42-48): FIR procedure, NALSA compensation, Zero FIR."""
@@ -142,33 +181,47 @@ class LegalOrchestrator:
         from legal_rag_tpu.retrieval.query_form import is_narrative
 
         narrative = [is_narrative(q) for q in queries]
-        # "dense" rides the weighted program with weight 0 — the fused
-        # score then IS the dense score (evaluation.py's dense mode)
+        if not any(narrative):
+            return self.engine.search_batch(
+                queries, k=k_fetch, hybrid_weights=weights, mode=None
+            )
+        if fusion_cfg.narrative_mode == "dense-union":
+            # the default-mode program covers every query; narrative
+            # rows are then union-merged with a dense ranking
+            out = self.engine.search_batch(
+                queries, k=k_fetch, hybrid_weights=weights, mode=None
+            )
+            narr_idx = [i for i, n in enumerate(narrative) if n]
+            dense_rows = self.engine.search_batch(
+                [queries[i] for i in narr_idx], k=k_fetch,
+                hybrid_weights=[0.0] * len(narr_idx), mode="weighted",
+            )
+            for i, drow in zip(narr_idx, dense_rows):
+                out[i] = _union_interleave(
+                    drow, out[i], k_fetch, fusion_cfg.rrf_k
+                )
+            return out
+        # pure-replacement variants: "dense" rides the weighted program
+        # with weight 0 (the fused score then IS the dense score,
+        # evaluation.py's dense mode); other values name an engine mode
         narr_mode, narr_weights = (
             ("weighted", [0.0] * len(queries))
             if fusion_cfg.narrative_mode == "dense"
             else (fusion_cfg.narrative_mode, weights)
         )
-        if all(narrative):
-            return self.engine.search_batch(
-                queries, k=k_fetch, hybrid_weights=narr_weights,
-                mode=narr_mode,
-            )
-        if not any(narrative):
-            return self.engine.search_batch(
-                queries, k=k_fetch, hybrid_weights=weights, mode=None
-            )
-        out: List[Optional[List[SearchResult]]] = [None] * len(queries)
+        out2: List[Optional[List[SearchResult]]] = [None] * len(queries)
         for flag, sub_mode in ((True, narr_mode), (False, None)):
             idx = [i for i, n in enumerate(narrative) if n is flag]
+            if not idx:
+                continue
             sub_w = [(narr_weights if flag else weights)[i] for i in idx]
             rows = self.engine.search_batch(
                 [queries[i] for i in idx], k=k_fetch,
                 hybrid_weights=sub_w, mode=sub_mode,
             )
             for i, row in zip(idx, rows):
-                out[i] = row
-        return out  # type: ignore[return-value]
+                out2[i] = row
+        return out2  # type: ignore[return-value]
 
     def rerank_results(
         self, query: str, results: List[Dict], k: int = 0, intent=None

@@ -173,10 +173,27 @@ def main():
             rows[pol] = np.where(narr[:, None], dense, rrf)
             rows[f"{pol}:narrative_rate"] = narr
 
+        # the SHIPPED variant (orchestrator._union_interleave):
+        # narrative rows take the dense-first rank interleave of both
+        # rankings instead of pure replacement — keeps BM25-carried
+        # hits that replacement drops
+        union = np.full_like(rrf, -1)
+        for qi in range(rrf.shape[0]):
+            seen, merged = set(), []
+            for j in range(kmax):
+                for d in (dense[qi, j], rrf[qi, j]):
+                    if d >= 0 and d not in seen:
+                        seen.add(d)
+                        merged.append(d)
+            union[qi, : len(merged[:kmax])] = merged[:kmax]
+        narr = rows["policy_narrative:narrative_rate"]
+        rows["policy_union"] = np.where(narr[:, None], union, rrf)
+        rows["policy_union:narrative_rate"] = narr
+
         out = {}
         base_hits, base_rr = per_query_hits(rows["rrf"], relevants)
         for mode in ("rrf", "dense", "policy_words", "policy_person",
-                     "policy_narrative"):
+                     "policy_narrative", "policy_union"):
             entry = score(rows[mode], relevants)
             if mode != "rrf":
                 hits, rr = per_query_hits(rows[mode], relevants)

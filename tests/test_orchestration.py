@@ -232,13 +232,14 @@ class _RecordingEngine:
         )
         self.store = type("S", (), {"chunks": []})()
         self.calls = []
+        self.canned = {}
 
     def search_batch(self, queries, k=None, hybrid_weights=None, mode=None):
         self.calls.append(
             {"queries": list(queries), "weights": list(hybrid_weights),
              "mode": mode}
         )
-        return [[] for _ in queries]
+        return [self.canned.get((q, mode), []) for q in queries]
 
 
 def _orchestrator(engine):
@@ -257,6 +258,41 @@ def test_narrative_policy_routes_dense():
     # dense = weighted program with weight 0 (evaluation.py semantics)
     assert eng.calls[0]["mode"] == "weighted"
     assert eng.calls[0]["weights"] == [0.0]
+
+
+def _sr(doc_id, score=1.0):
+    from legal_rag_tpu.retrieval.engine import SearchResult
+
+    return SearchResult(
+        chunk={"canonical_header": f"h{doc_id}"}, score=score,
+        semantic=score, keyword=0.0, doc_id=doc_id,
+    )
+
+
+def test_narrative_dense_union_interleaves_and_rescoring():
+    eng = _RecordingEngine(narrative_mode="dense-union")
+    orch = _orchestrator(eng)
+    narrative = "my ex keeps following me around and contacting me after"
+    # dense ranking surfaces 7,8; default (rrf) ranking has 8,9
+    eng.canned[(narrative, None)] = [_sr(8, 0.03), _sr(9, 0.02)]
+    eng.canned[(narrative, "weighted")] = [_sr(7, 0.9), _sr(8, 0.8)]
+    rows = orch._search_with_form_policy([narrative], 3, [0.5], None)
+    assert len(eng.calls) == 2
+    # both programs ran: default over the whole batch, dense over the
+    # narrative subset
+    assert eng.calls[0]["mode"] is None
+    assert eng.calls[1]["mode"] == "weighted"
+    assert eng.calls[1]["weights"] == [0.0]
+    merged = rows[0]
+    # dense-first interleave, deduped: 7 (dense), 8 (rrf), 9
+    assert [r.doc_id for r in merged] == [7, 8, 9]
+    # rescored by reciprocal interleave rank on one scale
+    rrf_k = eng.config.fusion.rrf_k
+    assert [r.score for r in merged] == [
+        1.0 / rrf_k, 1.0 / (rrf_k + 1), 1.0 / (rrf_k + 2)
+    ]
+    # monotone: downstream minmax/boost stages preserve this order
+    assert merged[0].score > merged[1].score > merged[2].score
 
 
 def test_heading_queries_keep_default_mode():
