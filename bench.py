@@ -849,6 +849,19 @@ def run():
                 "measured_iso": bank.get("measured_iso"),
                 "git_sha": bank.get("git_sha"),
             })
+    # Informational HTTP serving latency (VERDICT r4 item 6): surface
+    # the committed load-test artifact's healthy single-client p50 so
+    # the driver record carries the serving-path number alongside the
+    # device-time headline. Measured by scripts/bench_http.py, not here
+    # (a live server load test does not fit the bench budget).
+    try:
+        with open(os.path.join(REPO, "BENCH_HTTP_TPU.json")) as f:
+            http_rep = json.load(f)
+        c1 = http_rep["passes"]["coalesced"][0]
+        if c1.get("concurrency") == 1:
+            record["http_p50_ms_c1"] = c1["p50_ms"]
+    except (OSError, ValueError, KeyError, IndexError):
+        pass
     print(json.dumps(record))
 
 
